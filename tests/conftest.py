@@ -1,0 +1,19 @@
+import os
+import sys
+
+# Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
+# without TPU hardware (SURVEY.md §4d).  JAX_PLATFORMS must be overridden
+# (the ambient environment pins it to the tunneled TPU backend) — per-op
+# round trips to the remote chip make eager tests ~100x slower.
+os.environ['JAX_PLATFORMS'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8'
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
