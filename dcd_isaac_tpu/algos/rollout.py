@@ -1,0 +1,268 @@
+"""Rollout harnesses: `lax.scan` over vectorized envs.
+
+Replaces the reference's subprocess vec-env hot loop
+(adversarial_runner.agent_rollout, adversarial_runner.py:442-635 +
+parallel_wrappers.worker) with a single compiled scan: policy forward, env
+step, auto-reset, episode accounting and (for PLR replay cycles) mid-rollout
+level resampling all happen on-device with no host round trips.
+
+Auto-reset on done is pluggable (`reset_fn`), covering the reference's three
+behaviors:
+  * replay same level       → reset_agent            (worker step_env)
+  * fresh random level      → reset_random           (step_env reset_random=True)
+  * sample new replay level → masked gather from the level buffer
+                              (adversarial_runner.py:551-558)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.distributions import categorical_sample
+from .storage import Rollout
+
+
+class StepCarry(NamedTuple):
+    rng: jax.Array
+    env_state: Any
+    obs: Any
+    rnn_carry: Any
+    mask: jnp.ndarray          # (N,) mask entering the next step
+    level_seeds: jnp.ndarray   # (N,) int32
+    # episode accounting (VecMonitor semantics)
+    epi_return: jnp.ndarray    # (N,) running (unclipped) episode return
+    epi_count: jnp.ndarray     # (N,) completed episodes this rollout
+    ret_sum: jnp.ndarray       # (N,) sum of completed episode returns
+    ret_max: jnp.ndarray       # (N,) max completed episode return
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    num_steps: int
+    clip_reward: Optional[float] = None
+    handle_timelimits: bool = False
+    random_agent: bool = False   # uniform-random policy (DR teacher)
+
+
+def make_student_rollout(
+    env,
+    model,
+    cfg: RolloutConfig,
+    reset_fn: Callable[[jax.Array, Any, jnp.ndarray], Any] = None,
+    sample_action_fn: Callable = None,
+):
+    """Build rollout(params, carry: StepCarry) → (StepCarry, Rollout, stats).
+
+    ``reset_fn(rng, env_state, seed) -> (env_state, obs, seed)`` is applied
+    per-slot on episode end (vmapped); default replays the same level via
+    ``env.reset_agent``.
+    """
+    num_actions = env.num_actions
+    T = cfg.num_steps
+
+    if reset_fn is None:
+        def reset_fn(rng, state, seed):
+            state, obs = env.reset_agent(state)
+            return state, obs, seed
+
+    v_step = jax.vmap(lambda s, a: env.step(s, a))
+    v_reset = jax.vmap(reset_fn)
+
+    def policy_step(params, obs, rnn_carry, mask, rng):
+        logits, value, rnn_carry = model.apply(params, obs, rnn_carry, mask)
+        if cfg.random_agent:
+            n = logits.shape[0]
+            action = jax.random.randint(rng, (n,), 0, num_actions)
+            value = jnp.zeros_like(value)
+        elif sample_action_fn is not None:
+            action = sample_action_fn(rng, logits)
+        else:
+            action = categorical_sample(rng, logits)
+        log_dist = jax.nn.log_softmax(logits, axis=-1)
+        log_prob = jnp.take_along_axis(
+            log_dist, action[..., None], axis=-1).squeeze(-1)
+        return action, value, log_prob, log_dist, rnn_carry
+
+    def rollout(params, carry: StepCarry):
+        def scan_step(carry: StepCarry, t):
+            rng, r_act, r_env, r_reset = jax.random.split(carry.rng, 4)
+            action, value, log_prob, log_dist, rnn_carry = policy_step(
+                params, carry.obs, carry.rnn_carry, carry.mask, r_act)
+
+            env_state, next_obs, reward, done, info = v_step(
+                carry.env_state, action)
+            truncated = info['truncated']
+
+            # Rollout-final forced termination (adversarial_runner.py:497-512)
+            is_last = t == T - 1
+            cliffhanger = is_last & ~done
+            if cfg.handle_timelimits:
+                truncated = jnp.where(is_last, truncated | ~done, truncated)
+            done = jnp.where(is_last, jnp.ones_like(done), done)
+
+            # Truncation bootstrap value V(s_trunc) — the pre-reset next obs
+            # with the post-step hidden state (storage.py:208-231 semantics).
+            if cfg.handle_timelimits:
+                _, trunc_value, _ = model.apply(
+                    params, next_obs, rnn_carry,
+                    jnp.ones_like(carry.mask))
+                trunc_value = jax.lax.stop_gradient(trunc_value)
+            else:
+                trunc_value = jnp.zeros_like(value)
+
+            # Episode accounting (unclipped rewards, VecMonitor).
+            epi_return = carry.epi_return + reward
+            real_done = done & ~cliffhanger  # cliffhangers don't log episodes
+            epi_count = carry.epi_count + real_done.astype(jnp.int32)
+            ret_sum = carry.ret_sum + jnp.where(real_done, epi_return, 0.0)
+            ret_max = jnp.where(
+                real_done, jnp.maximum(carry.ret_max, epi_return),
+                carry.ret_max)
+
+            if cfg.clip_reward:
+                reward = jnp.clip(
+                    reward, -cfg.clip_reward, cfg.clip_reward)
+
+            # Auto-reset finished slots (including cliffhangers is harmless:
+            # the next cycle begins with a fresh reset anyway, but PLR replay
+            # needs real dones to resample immediately).
+            n = done.shape[0]
+            reset_state, reset_obs, reset_seed = v_reset(
+                jax.random.split(r_reset, n), env_state, carry.level_seeds)
+
+            def sel(new, old):
+                m = real_done.reshape((n,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            env_state = jax.tree.map(sel, reset_state, env_state)
+            next_obs = jax.tree.map(sel, reset_obs, next_obs)
+            next_seeds = jnp.where(real_done, reset_seed, carry.level_seeds)
+
+            step_data = Rollout(
+                obs=carry.obs,
+                actions=action,
+                log_probs=log_prob,
+                log_dists=log_dist,
+                values=value,
+                rewards=reward,
+                masks_pre=carry.mask,
+                dones=done,
+                bad_masks=1.0 - truncated.astype(jnp.float32),
+                cliffhangers=cliffhanger,
+                trunc_values=trunc_value,
+                level_seeds=carry.level_seeds,
+            )
+            new_carry = StepCarry(
+                rng=rng,
+                env_state=env_state,
+                obs=next_obs,
+                rnn_carry=rnn_carry,
+                mask=1.0 - done.astype(jnp.float32),
+                level_seeds=next_seeds,
+                epi_return=jnp.where(real_done, 0.0, epi_return),
+                epi_count=epi_count,
+                ret_sum=ret_sum,
+                ret_max=ret_max,
+            )
+            return new_carry, step_data
+
+        final, steps = jax.lax.scan(scan_step, carry, jnp.arange(T))
+
+        # Bootstrap value of the final obs (reference next_value).
+        _, next_value, _ = model.apply(
+            params, final.obs, final.rnn_carry, final.mask)
+        next_value = jax.lax.stop_gradient(next_value)
+
+        has_epi = final.epi_count > 0
+        stats = {
+            'mean_return': jnp.where(
+                has_epi, final.ret_sum / jnp.maximum(final.epi_count, 1), 0.0),
+            'max_return': jnp.where(has_epi, final.ret_max, 0.0),
+            'episode_count': final.epi_count,
+        }
+        return final, steps, next_value, stats
+
+    return rollout
+
+
+def initial_step_carry(env, model, env_state, obs, rng, level_seeds=None):
+    """Fresh StepCarry for a batch of already-reset envs."""
+    n = jax.tree.leaves(obs)[0].shape[0]
+    if level_seeds is None:
+        level_seeds = jnp.full((n,), -1, dtype=jnp.int32)
+    return StepCarry(
+        rng=rng,
+        env_state=env_state,
+        obs=obs,
+        rnn_carry=model.initial_carry((n,)),
+        mask=jnp.zeros((n,), jnp.float32),  # mask[0]=0: fresh episodes
+        level_seeds=level_seeds,
+        epi_return=jnp.zeros((n,)),
+        epi_count=jnp.zeros((n,), jnp.int32),
+        ret_sum=jnp.zeros((n,)),
+        ret_max=jnp.full((n,), -jnp.inf),
+    )
+
+
+def make_adversary_rollout(env, model, adv_steps: int,
+                           random_agent: bool = False):
+    """Teacher construction scan (reference agent_rollout is_env branch).
+
+    rollout(params, env_states, obs0, rng) → (env_states, Rollout, next_value)
+    Rewards are zero; the final step's reward is later replaced by the regret
+    (storage.replace_final_reward).  Obs are the adversary dicts.
+    """
+    T = adv_steps
+    num_actions = env.adversary_num_actions
+    v_adv = jax.vmap(env.step_adversary)
+
+    def rollout(params, env_state, obs0, rng):
+        n = jax.tree.leaves(obs0)[0].shape[0]
+        carry0 = (rng, env_state, obs0, model.initial_carry((n,)),
+                  jnp.zeros((n,), jnp.float32))
+
+        def scan_step(carry, t):
+            rng, env_state, obs, rnn_carry, mask = carry
+            rng, r_act, r_env = jax.random.split(rng, 3)
+            logits, value, rnn_carry = model.apply(
+                params, obs, rnn_carry, mask)
+            if random_agent:
+                action = jax.random.randint(r_act, (n,), 0, num_actions)
+                value = jnp.zeros_like(value)
+            else:
+                action = categorical_sample(r_act, logits)
+            log_dist = jax.nn.log_softmax(logits, axis=-1)
+            log_prob = jnp.take_along_axis(
+                log_dist, action[..., None], axis=-1).squeeze(-1)
+
+            env_state, next_obs, done = v_adv(
+                env_state, action, jax.random.split(r_env, n))
+
+            step_data = Rollout(
+                obs=obs,
+                actions=action,
+                log_probs=log_prob,
+                log_dists=log_dist,
+                values=value,
+                rewards=jnp.zeros((n,)),
+                masks_pre=mask,
+                dones=done,
+                bad_masks=jnp.ones((n,)),
+                cliffhangers=jnp.zeros((n,), jnp.bool_),
+                trunc_values=jnp.zeros((n,)),
+                level_seeds=jnp.full((n,), -1, jnp.int32),
+            )
+            new_mask = 1.0 - done.astype(jnp.float32)
+            return (rng, env_state, next_obs, rnn_carry, new_mask), step_data
+
+        (rng, env_state, obs, rnn_carry, mask), steps = jax.lax.scan(
+            scan_step, carry0, jnp.arange(T))
+
+        _, next_value, _ = model.apply(params, obs, rnn_carry, mask)
+        return env_state, steps, jax.lax.stop_gradient(next_value)
+
+    return rollout

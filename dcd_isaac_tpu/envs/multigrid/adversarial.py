@@ -367,4 +367,12 @@ class AdversarialMultiGrid:
         return reset_agent(state, self.params)
 
     def step(self, state, action, rng=None):
-        return step_agent(state, action, self.params)
+        """→ (state, obs, reward, done, info) with time-limit truncation flag.
+
+        ``truncated`` mirrors the reference TimeLimit wrapper semantics
+        (wrappers/time_limit.py:24-33): done due to the step budget rather
+        than a terminal goal/lava event.
+        """
+        state, obs, reward, done = step_agent(state, action, self.params)
+        info = {'truncated': done & ~state.agent_done}
+        return state, obs, reward, done, info

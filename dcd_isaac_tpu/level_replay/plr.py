@@ -1,0 +1,465 @@
+"""Device-resident Prioritized Level Replay (PLR).
+
+TPU-native redesign of reference level_replay/level_sampler.py +
+level_store.py: the seed→level map and all sampler statistics collapse into
+one dense HBM buffer of ``capacity`` slots (levels are fixed-size arrays in
+this suite — SURVEY.md §5.8), and the per-episode Python scoring loops
+(level_sampler.py:486-578) become sort/segment reductions over the (T, N)
+rollout arrays.  Everything runs inside the jitted training cycle.
+
+Semantic mapping (all formulas preserved):
+  * slot index == seed; seeds ≥ capacity denote this cycle's staging levels
+    (staging slot = seed - capacity), replacing the staging/working sets of
+    ``sample_full_distribution`` mode (level_sampler.py:97-108)
+  * per-episode scores: mean/max of per-step strategy scores over episode
+    segments, cliffhanger episodes excluded (level_sampler.py:527-543)
+  * EWA score smoothing applied per completed episode in (actor, time) order
+    via a closed-form weighted fold (level_sampler.py:210-212)
+  * staging→working promotion: evict argmin sample-weight (or score) slot,
+    accept if staged score ≥ incumbent or slot unseen (level_sampler.py:230-273)
+  * sample weights: score transform × (1-unseen), staleness mixing
+    (level_sampler.py:726-785)
+
+Documented deviations (distributional parity per BASELINE.json):
+  * no exact-duplicate dedup of level payloads (reference LevelStore.level2seed)
+  * staged promotion happens once post-rollout instead of at each episode end
+  * staleness increments are applied in one batch per cycle
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class PLRConfig:
+    capacity: int
+    num_actors: int
+    strategy: str = 'value_l1'
+    replay_schedule: str = 'proportionate'
+    score_transform: str = 'rank'
+    temperature: float = 1.0
+    eps: float = 0.05
+    rho: float = 1.0
+    replay_prob: float = 0.95
+    alpha: float = 1.0
+    staleness_coef: float = 0.3
+    staleness_transform: str = 'power'
+    staleness_temperature: float = 1.0
+    max_score_coef: float = 0.0
+    seed_buffer_priority: str = 'replay_support'
+    gamma: float = 0.999
+    use_dense_rewards: bool = False
+    reject_unsolvable: bool = False
+
+
+@struct.dataclass
+class PLRBuffer:
+    levels: jnp.ndarray          # (S, *level_shape)
+    scores: jnp.ndarray          # (S,)
+    staleness: jnp.ndarray       # (S,)
+    unseen: jnp.ndarray          # (S,) 1.0 = never scored
+    filled: jnp.ndarray          # (S,) bool
+    solvable: jnp.ndarray        # (S,) bool
+    grounded_values: jnp.ndarray  # (S,)
+    num_edits: jnp.ndarray       # (S,) int32 ACCEL lineage depth
+    sample_count: jnp.ndarray    # () f32 running sample counter
+
+    @property
+    def capacity(self) -> int:
+        return self.scores.shape[0]
+
+
+def init_plr(cfg: PLRConfig, level_shape: Tuple[int, ...],
+             level_dtype=jnp.uint8) -> PLRBuffer:
+    S = cfg.capacity
+    return PLRBuffer(
+        levels=jnp.zeros((S, *level_shape), level_dtype),
+        scores=jnp.zeros((S,)),
+        staleness=jnp.zeros((S,)),
+        unseen=jnp.ones((S,)),
+        filled=jnp.zeros((S,), bool),
+        solvable=jnp.ones((S,), bool),
+        grounded_values=jnp.full((S,), NEG_INF),
+        num_edits=jnp.zeros((S,), jnp.int32),
+        sample_count=jnp.float32(0.0),
+    )
+
+
+def proportion_filled(buf: PLRBuffer) -> jnp.ndarray:
+    return buf.filled.mean(dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Sample weights (level_sampler.py:726-785)
+# ---------------------------------------------------------------------------
+
+def _score_transform(transform: str, temperature: float, scores, unseen,
+                     eps: float, staleness_coef: float):
+    S = scores.shape[0]
+    if transform == 'constant':
+        return jnp.ones_like(scores)
+    if transform == 'max':
+        masked = jnp.where(unseen > 0, -jnp.inf, scores)
+        return (masked == masked.max()).astype(jnp.float32)
+    if transform == 'eps_greedy':
+        w = jnp.zeros_like(scores).at[jnp.argmax(scores)].set(1.0 - eps)
+        return w + eps / S
+    if transform == 'rank':
+        # ranks: 1 = highest score (stable ties by index)
+        order = jnp.argsort(-scores, stable=True)
+        ranks = jnp.empty_like(order).at[order].set(jnp.arange(S) + 1)
+        return 1.0 / ranks.astype(jnp.float32) ** (1.0 / temperature)
+    if transform == 'power':
+        e = 0.0 if staleness_coef > 0 else 1e-3
+        return (jnp.clip(scores, 0, None) + e) ** (1.0 / temperature)
+    if transform == 'softmax':
+        return jnp.exp(scores / temperature)
+    if transform == 'match':
+        return ((1 - scores) * scores) ** (1.0 / temperature)
+    if transform == 'match_rank':
+        w = (1 - scores) * scores
+        order = jnp.argsort(-w, stable=True)
+        ranks = jnp.empty_like(order).at[order].set(jnp.arange(S) + 1)
+        return 1.0 / ranks.astype(jnp.float32) ** (1.0 / temperature)
+    raise ValueError(f'Unknown score transform {transform}')
+
+
+def sample_weights(buf: PLRBuffer, cfg: PLRConfig) -> jnp.ndarray:
+    w = _score_transform(cfg.score_transform, cfg.temperature, buf.scores,
+                         buf.unseen, cfg.eps, cfg.staleness_coef)
+    w = w * (1.0 - buf.unseen)
+    z = w.sum()
+    uniform_seen = (1.0 - buf.unseen)
+    uniform_seen = uniform_seen / jnp.clip(uniform_seen.sum(), 1.0, None)
+    w = jnp.where(z > 0, w / jnp.clip(z, 1e-12, None), uniform_seen)
+
+    if cfg.staleness_coef > 0:
+        sw = _score_transform(
+            cfg.staleness_transform, cfg.staleness_temperature,
+            buf.staleness, buf.unseen, cfg.eps, cfg.staleness_coef)
+        sw = sw * (1.0 - buf.unseen)
+        sz = sw.sum()
+        sw = jnp.where(sz > 0, sw / jnp.clip(sz, 1e-12, None), uniform_seen)
+        w = (1 - cfg.staleness_coef) * w + cfg.staleness_coef * sw
+    return w
+
+
+def sample_replay_decision(buf: PLRBuffer, cfg: PLRConfig,
+                           rng: jax.Array) -> jnp.ndarray:
+    """Reference sample_replay_decision, full-distribution branch (:606-622)."""
+    prop = proportion_filled(buf)
+    u = jax.random.uniform(rng)
+    if cfg.replay_schedule == 'fixed':
+        return (prop >= cfg.rho) & (u < cfg.replay_prob)
+    return (prop >= cfg.rho) & (u < jnp.minimum(prop, cfg.replay_prob))
+
+
+def sample_replay_levels(
+    buf: PLRBuffer, cfg: PLRConfig, rng: jax.Array, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, PLRBuffer]:
+    """Draw n replay seeds iid from the current weights → (seeds, levels, buf).
+
+    Staleness: one batched update — everyone ages by n, drawn seeds reset
+    (reference ages by 1 per draw; distributionally equivalent).
+    """
+    w = sample_weights(buf, cfg)
+    seeds = jax.random.choice(rng, buf.capacity, (n,), p=w)
+    levels = buf.levels[seeds]
+    if cfg.staleness_coef > 0:
+        staleness = buf.staleness + n
+        staleness = staleness.at[seeds].set(0.0)
+    else:
+        staleness = buf.staleness
+    buf = buf.replace(
+        staleness=staleness, sample_count=buf.sample_count + n)
+    return seeds, levels, buf
+
+
+# ---------------------------------------------------------------------------
+# Per-step strategy scores
+# ---------------------------------------------------------------------------
+
+def _step_scores(cfg: PLRConfig, rollout, returns, values,
+                 grounded_per_step):
+    """(T, N) per-step score + weight arrays for the configured strategy."""
+    strat = cfg.strategy
+    T, N = rollout.rewards.shape
+    ones = jnp.ones((T, N))
+
+    if strat == 'uniform':
+        return ones, ones, ones
+    if strat == 'policy_entropy':
+        logp = rollout.log_dists
+        A = logp.shape[-1]
+        max_ent = jnp.log(A)
+        s = -(jnp.exp(logp) * logp).sum(-1) / max_ent
+        return s, s, ones
+    if strat == 'least_confidence':
+        s = 1.0 - jnp.exp(rollout.log_dists.max(-1))
+        return s, s, ones
+    if strat == 'min_margin':
+        top2 = jax.lax.top_k(rollout.log_dists, 2)[0]
+        margin = jnp.exp(top2[..., 0]) - jnp.exp(top2[..., 1])
+        s = 1.0 - margin
+        return s, s, ones
+    if strat in ('gae', 'signed_value_loss'):
+        s = returns - values
+        return s, s, ones
+    if strat == 'value_l1':
+        s = jnp.abs(returns - values)
+        return s, s, ones
+    if strat == 'positive_value_loss':
+        s = jnp.clip(returns - values, 0, None)
+        return s, s, ones
+    if strat in ('grounded_signed_value_loss',
+                 'grounded_positive_value_loss'):
+        s = grounded_per_step - values
+        if strat == 'grounded_positive_value_loss':
+            s = jnp.clip(s, 0, None)
+        if cfg.use_dense_rewards:
+            # only the first step of each episode counts (value_preds[0])
+            starts = jnp.concatenate(
+                [jnp.ones((1, N), bool), rollout.dones[:-1]], 0)
+            w = starts.astype(jnp.float32)
+        else:
+            w = ones
+        return s, s, w
+    if strat == 'one_step_td_error':
+        v_next = jnp.concatenate([values[1:], values[-1:]], 0)
+        not_last = 1.0 - rollout.dones.astype(jnp.float32)
+        td = jnp.abs(rollout.rewards + cfg.gamma * v_next - values)
+        single = rollout.rewards - values  # length-1 episode special case
+        starts = jnp.concatenate(
+            [jnp.ones((1, N), bool), rollout.dones[:-1]], 0)
+        is_single = starts & rollout.dones
+        s = jnp.where(is_single, single, td)
+        w = jnp.where(is_single, 1.0, not_last)
+        return s, s, w
+    raise ValueError(f'Unsupported PLR strategy {cfg.strategy}')
+
+
+# ---------------------------------------------------------------------------
+# Rollout → score updates (batched _update_with_rollouts)
+# ---------------------------------------------------------------------------
+
+def update_with_rollout(
+    buf: PLRBuffer,
+    cfg: PLRConfig,
+    rollout,
+    returns: jnp.ndarray,
+    values: jnp.ndarray,
+    staging_base: Optional[int] = None,
+) -> Tuple[PLRBuffer, jnp.ndarray, jnp.ndarray]:
+    """Fold one student rollout into seed scores.
+
+    ``values`` must already be PopArt-denormalized when applicable
+    (level_sampler.py:522-525).  Seeds ≥ ``staging_base`` (default: capacity)
+    are this cycle's staging levels; their aggregated scores are returned
+    instead of applied: (buf, staged_scores (N,), staged_counts (N,)).
+    """
+    if staging_base is None:
+        staging_base = buf.capacity
+    S = buf.capacity
+    T, N = rollout.rewards.shape
+    E = T + 1  # max episodes per env
+
+    dones = rollout.dones.astype(jnp.int32)
+    # Episode index per (t, n): 0 for steps before the first done (inclusive).
+    seg = jnp.concatenate(
+        [jnp.zeros((1, N), jnp.int32), jnp.cumsum(dones, 0)[:-1]], 0)
+    env_ids = jnp.broadcast_to(jnp.arange(N)[None, :], (T, N))
+    flat_seg = (env_ids * E + seg).reshape(-1)  # (T*N,) episode ids
+
+    grounded_seed = jnp.where(
+        (rollout.level_seeds >= 0) & (rollout.level_seeds < S),
+        rollout.level_seeds, 0)
+    # Episode return for grounded value (max achieved return per seed).
+    ep_ret = jax.ops.segment_sum(
+        rollout.rewards.reshape(-1), flat_seg, N * E).reshape(N, E)
+
+    old_grounded = buf.grounded_values[grounded_seed]  # (T, N)
+    g_known = old_grounded > NEG_INF / 2
+    ep_ret_step = ep_ret.reshape(-1)[flat_seg].reshape(T, N)
+    grounded_per_step = jnp.where(
+        g_known, jnp.maximum(old_grounded, ep_ret_step), ep_ret_step)
+
+    step_s, step_m, step_w = _step_scores(
+        cfg, rollout, returns, values, grounded_per_step)
+
+    flat_w = step_w.reshape(-1)
+    sums = jax.ops.segment_sum(
+        (step_s * step_w).reshape(-1), flat_seg, N * E)
+    counts = jax.ops.segment_sum(flat_w, flat_seg, N * E)
+    maxes = jax.ops.segment_max(
+        jnp.where(step_w > 0, step_m, -jnp.inf).reshape(-1), flat_seg, N * E)
+    ep_mean = (sums / jnp.clip(counts, 1.0, None)).reshape(N, E)
+    ep_max = jnp.where(
+        jnp.isfinite(maxes), maxes, 0.0).reshape(N, E)
+    ep_total = (cfg.max_score_coef * ep_max
+                + (1 - cfg.max_score_coef) * ep_mean)
+
+    # Which (n, e) cells are completed, non-cliffhanger episodes?  Each
+    # segment contains at most one done step (its last).
+    done_flat = (rollout.dones & ~rollout.cliffhangers).reshape(-1)
+    completed = jax.ops.segment_max(
+        done_flat.astype(jnp.int32), flat_seg, N * E).reshape(N, E) > 0
+    has_steps = jax.ops.segment_sum(
+        jnp.ones((T * N,)), flat_seg, N * E).reshape(N, E) > 0
+    completed = completed & has_steps
+
+    # Episode seed: the seed at the first step of the segment.
+    t_ids = jnp.broadcast_to(jnp.arange(T)[:, None], (T, N)).reshape(-1)
+    first_step = jax.ops.segment_min(t_ids, flat_seg, N * E)
+    first_step = jnp.clip(first_step, 0, T - 1).reshape(N, E)
+    ep_seed = jnp.take_along_axis(
+        rollout.level_seeds.T, first_step, axis=1)  # (N, E)
+
+    is_working = completed & (ep_seed >= 0) & (ep_seed < S)
+    is_staged = completed & (ep_seed >= staging_base)
+
+    # ---- EWA fold into working seeds, ordered (env-major, time) ----------
+    flat_total = ep_total.reshape(-1)
+    flat_seed = jnp.where(is_working, ep_seed, S).reshape(-1)  # S = dump slot
+    order_key = jnp.arange(N * E)  # already env-major then episode order
+
+    # rank of each episode within its seed (stable sort by (seed, order))
+    sort_idx = jnp.argsort(flat_seed * (N * E) + order_key)
+    sorted_seed = flat_seed[sort_idx]
+    newgrp = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_seed[1:] != sorted_seed[:-1]).astype(jnp.int32)])
+    grp_pos = jnp.arange(N * E) - jax.lax.cummax(
+        jnp.where(newgrp > 0, jnp.arange(N * E), 0))
+    rank_sorted = grp_pos  # 0-based rank within seed, ordered
+    rank = jnp.zeros_like(rank_sorted).at[sort_idx].set(rank_sorted)
+
+    K = jax.ops.segment_sum(
+        jnp.ones((N * E,)), flat_seed, S + 1)[:S]  # episodes per seed
+    K_e = K[jnp.clip(flat_seed, 0, S - 1)]
+    a = cfg.alpha
+    w_e = a * (1 - a) ** jnp.clip(K_e - 1 - rank, 0, None)
+    contrib = jax.ops.segment_sum(
+        w_e * flat_total, flat_seed, S + 1)[:S]
+    decay = (1 - a) ** K
+    new_scores = jnp.where(K > 0, decay * buf.scores + contrib, buf.scores)
+    new_unseen = jnp.where(K > 0, 0.0, buf.unseen)
+
+    # grounded values bookkeeping
+    ep_ret_masked = jnp.where(is_working.reshape(-1), ep_ret.reshape(-1),
+                              NEG_INF)
+    g_max = jax.ops.segment_max(ep_ret_masked, flat_seed, S + 1)[:S]
+    new_grounded = jnp.maximum(buf.grounded_values, g_max)
+
+    # post-hoc staleness reset for seeds touched this rollout
+    # (mid-rollout replay samples, adversarial_runner.py:551-558)
+    if cfg.staleness_coef > 0:
+        seen_this_rollout = jax.ops.segment_max(
+            jnp.ones((N * E,)),
+            jnp.where(is_working, ep_seed, S).reshape(-1), S + 1)[:S] > 0
+        staleness = jnp.where(
+            seen_this_rollout, 0.0, buf.staleness)
+    else:
+        staleness = buf.staleness
+
+    buf = buf.replace(
+        scores=new_scores, unseen=new_unseen, grounded_values=new_grounded,
+        staleness=staleness)
+
+    # ---- staged level aggregation (step-weighted mean across episodes) ---
+    stage_idx = jnp.clip(ep_seed - staging_base, 0, N - 1)
+    flat_stage = jnp.where(is_staged, stage_idx, N).reshape(-1)
+    st_sums = jax.ops.segment_sum(
+        (ep_total * counts.reshape(N, E)).reshape(-1), flat_stage, N + 1)[:N]
+    st_counts = jax.ops.segment_sum(counts, flat_stage, N + 1)[:N]
+    st_epis = jax.ops.segment_sum(
+        jnp.ones((N * E,)), flat_stage, N + 1)[:N]
+    staged_scores = st_sums / jnp.clip(st_counts, 1.0, None)
+    return buf, staged_scores, st_epis
+
+
+# ---------------------------------------------------------------------------
+# Staging → working promotion (reference _partial_update_seed_score_buffer)
+# ---------------------------------------------------------------------------
+
+def promote_staged(
+    buf: PLRBuffer,
+    cfg: PLRConfig,
+    staged_levels: jnp.ndarray,    # (N, *level_shape)
+    staged_scores: jnp.ndarray,    # (N,)
+    staged_counts: jnp.ndarray,    # (N,) completed-episode counts
+    staged_solvable: Optional[jnp.ndarray] = None,
+    staged_num_edits: Optional[jnp.ndarray] = None,
+) -> PLRBuffer:
+    """Insert this cycle's staged levels into the working buffer.
+
+    Sequential scan in env order: each insertion evicts the current
+    minimum-sample-weight (or minimum-score) slot, accepting only if the
+    staged score beats the incumbent or the slot is unseen/empty
+    (level_sampler.py:239-257).
+    """
+    N = staged_scores.shape[0]
+    S = buf.capacity
+    if staged_solvable is None:
+        staged_solvable = jnp.ones((N,), bool)
+    if staged_num_edits is None:
+        staged_num_edits = jnp.zeros((N,), jnp.int32)
+
+    valid = staged_counts > 0
+    if cfg.reject_unsolvable:
+        valid = valid & staged_solvable
+
+    def insert_one(carry, i):
+        buf = carry
+        not_full = ~buf.filled.all()
+        first_empty = jnp.argmin(buf.filled)  # first False
+        if cfg.seed_buffer_priority == 'replay_support':
+            evict = jnp.argmin(
+                jnp.where(buf.filled, sample_weights(buf, cfg), jnp.inf))
+        else:
+            evict = jnp.argmin(jnp.where(buf.filled, buf.scores, jnp.inf))
+        idx = jnp.where(not_full, first_empty, evict)
+        score = staged_scores[i]
+        accept = valid[i] & (
+            (buf.scores[idx] <= score) | (buf.unseen[idx] > 0)
+            | ~buf.filled[idx])
+
+        def do_insert(buf):
+            return buf.replace(
+                levels=buf.levels.at[idx].set(staged_levels[i]),
+                scores=buf.scores.at[idx].set(score),
+                unseen=buf.unseen.at[idx].set(0.0),
+                filled=buf.filled.at[idx].set(True),
+                solvable=buf.solvable.at[idx].set(staged_solvable[i]),
+                staleness=buf.staleness.at[idx].set(0.0),
+                grounded_values=buf.grounded_values.at[idx].set(NEG_INF),
+                num_edits=buf.num_edits.at[idx].set(staged_num_edits[i]),
+            )
+
+        buf = jax.lax.cond(accept, do_insert, lambda b: b, buf)
+        return buf, accept
+
+    buf = buf.replace(sample_count=buf.sample_count + N)
+    buf, accepted = jax.lax.scan(insert_one, buf, jnp.arange(N))
+    return buf
+
+
+# ---------------------------------------------------------------------------
+# Stats
+# ---------------------------------------------------------------------------
+
+def plr_stats(buf: PLRBuffer, cfg: PLRConfig) -> dict:
+    w = sample_weights(buf, cfg)
+    return {
+        'solvable_mass': (w * buf.solvable).sum(),
+        'max_score': buf.scores.max(),
+        'proportion_filled': proportion_filled(buf),
+        'weighted_num_edits': (w * buf.num_edits).sum(),
+    }

@@ -1,0 +1,101 @@
+"""MultiGrid actor-critic networks (flax.linen).
+
+Architecture parity with reference models/multigrid_models.py:15-186:
+Conv(k3, VALID) on the (scaled) grid image → flatten → ReLU, concat one-hot
+scalar embedding (direction / time_step) and random_z, LSTM(256) core, twin
+32-32 tanh MLP heads → Categorical(num_actions) logits / scalar value.
+
+The student and the environment adversary ("teacher") share this class with
+different hyperparameters (reference util/make_agent.py:15-58): student
+conv_filters=16, scalar_dim=4, scalar_fc=5; teacher conv_filters=128,
+scalar_dim=adversary_max_steps+1, scalar_fc=10, random_z_dim=50.
+
+Image scaling (/10) replicates VecPreprocessImageWrapper
+(envs/wrappers/obs_wrappers.py) — done in-model so raw uint8 obs flow
+straight from the env engine without a host-side wrapper stage.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import RNNCore, mlp, ortho, rnn_initial_carry, xavier_uniform, zeros
+
+
+class MultigridNetwork(nn.Module):
+    num_actions: int
+    scalar_dim: int = 4
+    scalar_fc: int = 5
+    conv_filters: int = 16
+    conv_kernel: int = 3
+    random_z_dim: int = 0
+    recurrent_arch: str = 'lstm'
+    recurrent_hidden_size: int = 256
+    actor_fc_layers: Sequence[int] = (32, 32)
+    value_fc_layers: Sequence[int] = (32, 32)
+
+    dist_type = 'categorical'
+
+    def setup(self):
+        self.conv = nn.Conv(
+            self.conv_filters, (self.conv_kernel, self.conv_kernel),
+            padding='VALID', kernel_init=xavier_uniform(), bias_init=zeros,
+            name='image_conv',
+        )
+        self.scalar_embed = nn.Dense(self.scalar_fc, name='scalar_embed')
+        self.core = RNNCore(self.recurrent_hidden_size, self.recurrent_arch)
+        self.actor_trunk = mlp(
+            (self.recurrent_hidden_size, *self.actor_fc_layers), 'actor_fc')
+        self.actor_head = nn.Dense(
+            self.num_actions, kernel_init=ortho(0.01), bias_init=zeros,
+            name='actor_head')
+        self.critic_trunk = mlp(
+            (self.recurrent_hidden_size, *self.value_fc_layers), 'critic_fc')
+        self.critic_head = nn.Dense(
+            1, kernel_init=ortho(1.0), bias_init=zeros, name='critic_head')
+
+    @property
+    def is_recurrent(self) -> bool:
+        return self.recurrent_arch in ('lstm', 'gru')
+
+    def initial_carry(self, batch_dims: Tuple[int, ...]):
+        return rnn_initial_carry(
+            self.recurrent_arch, self.recurrent_hidden_size, batch_dims)
+
+    def _embed(self, obs: dict) -> jnp.ndarray:
+        img = obs['image'].astype(jnp.float32) / 10.0
+        x = self.conv(img)
+        x = x.reshape(*x.shape[:-3], -1)
+        x = nn.relu(x)
+        scalar = obs.get('direction', obs.get('time_step'))
+        parts = [x]
+        if scalar is not None and self.scalar_dim:
+            onehot = jax.nn.one_hot(
+                scalar.astype(jnp.int32), self.scalar_dim)
+            parts.append(self.scalar_embed(onehot))
+        if self.random_z_dim:
+            parts.append(obs['random_z'])
+        return jnp.concatenate(parts, axis=-1)
+
+    def _heads(self, core: jnp.ndarray):
+        logits = self.actor_head(self.actor_trunk(core))
+        value = self.critic_head(self.critic_trunk(core)).squeeze(-1)
+        return logits, value
+
+    def __call__(self, obs: dict, carry, mask: jnp.ndarray):
+        """Single batched step: obs (B, ...), mask (B,) → (logits, value, carry)."""
+        x = self._embed(obs)
+        carry, core = self.core(carry, x, mask)
+        logits, value = self._heads(core)
+        return logits, value, carry
+
+    def sequence(self, obs: dict, carry, masks: jnp.ndarray):
+        """(T, B, ...) BPTT forward → (logits_T, values_T, final_carry)."""
+        x = self._embed(obs)  # feedforward part folds T into the batch
+        carry, core = self.core.sequence(carry, x, masks)
+        logits, value = self._heads(core)
+        return logits, value, carry
