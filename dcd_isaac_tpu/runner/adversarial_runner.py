@@ -1,0 +1,662 @@
+"""The DCD cycle: teacher → student(s) → regret → curriculum updates.
+
+TPU-native re-design of reference envs/runners/adversarial_runner.py.  The
+reference's Python orchestration over subprocess envs becomes three compiled
+programs — ``cycle_generate`` (new levels: DR reset or constructive teacher
+scan), ``cycle_replay`` (PLR replay with in-scan level resampling) and
+``cycle_edit`` (ACCEL mutation + discard-grad evaluation) — selected by two
+host-side coin flips per cycle (replay decision, edit decision), exactly the
+reference's control points (run(), adversarial_runner.py:676-896).
+
+UED algorithms are configurations of this cycle (README.MD:50-58): DR, PLR,
+Robust PLR, ACCEL, PAIRED, REPAIRED, Minimax, ALP-GMM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..algos.ppo import (
+    AgentTrainState, PPOConfig, init_agent_state, make_ppo_update,
+)
+from ..algos.rollout import (
+    RolloutConfig, initial_step_carry, make_adversary_rollout,
+    make_student_rollout,
+)
+from ..algos.storage import batched_value_loss, compute_gae
+from ..level_replay import plr as plr_lib
+from ..models import popart as popart_lib
+from ..models.multigrid_models import MultigridNetwork
+
+
+@struct.dataclass
+class RMS:
+    """Running mean/var for teacher return normalization
+    (reference util RunningMeanStd)."""
+    mean: jnp.ndarray
+    var: jnp.ndarray
+    count: jnp.ndarray
+
+    @classmethod
+    def create(cls):
+        return cls(jnp.float32(0), jnp.float32(1), jnp.float32(1e-4))
+
+    def update(self, x):
+        bm, bv, bc = x.mean(), x.var(), x.shape[0]
+        delta = bm - self.mean
+        tot = self.count + bc
+        new_mean = self.mean + delta * bc / tot
+        m_a = self.var * self.count
+        m_b = bv * bc
+        m2 = m_a + m_b + delta ** 2 * self.count * bc / tot
+        return RMS(new_mean, m2 / tot, tot)
+
+
+@struct.dataclass
+class RunnerState:
+    rng: jax.Array
+    agent: AgentTrainState
+    adversary_agent: Optional[AgentTrainState]
+    adversary_env: Optional[AgentTrainState]
+    plr_agent: Optional[plr_lib.PLRBuffer]
+    plr_antagonist: Optional[plr_lib.PLRBuffer]
+    teacher_rollout: Optional[Any]      # last teacher construction rollout
+    teacher_next_value: Optional[jnp.ndarray]
+    env_return_rms: Optional[RMS]
+
+
+class AdversarialRunner:
+    """Owns models + compiled cycle programs; host-side counters/log state."""
+
+    def __init__(self, args, env, models: Dict[str, Any], rng):
+        self.args = args
+        self.env = env
+        self.models = models
+        N = args.num_processes
+
+        self.is_dr = args.ued_algo == 'domain_randomization'
+        self.is_training_env = args.ued_algo in (
+            'paired', 'flexible_paired', 'minimax')
+        self.is_paired = args.ued_algo in ('paired', 'flexible_paired')
+        self.use_plr = args.use_plr
+        self.use_editor = args.use_editor
+        self.robust_plr = getattr(args, 'no_exploratory_grad_updates', False)
+
+        self.ppo_cfg = PPOConfig(
+            clip_param=args.clip_param, ppo_epoch=args.ppo_epoch,
+            num_mini_batch=args.num_mini_batch,
+            value_loss_coef=args.value_loss_coef,
+            entropy_coef=args.entropy_coef, lr=args.lr, eps=args.eps,
+            max_grad_norm=args.max_grad_norm,
+            clip_value_loss=args.clip_value_loss,
+            use_popart=args.use_popart)
+        self.adv_ppo_cfg = dataclasses.replace(
+            self.ppo_cfg, ppo_epoch=args.adv_ppo_epoch,
+            num_mini_batch=args.adv_num_mini_batch,
+            entropy_coef=args.adv_entropy_coef,
+            max_grad_norm=args.adv_max_grad_norm,
+            use_popart=args.adv_use_popart)
+
+        self.plr_cfg = None
+        if self.use_plr:
+            self.plr_cfg = plr_lib.PLRConfig(
+                capacity=args.level_replay_seed_buffer_size,
+                num_actors=N,
+                strategy=args.level_replay_strategy,
+                replay_schedule=args.level_replay_schedule,
+                score_transform=args.level_replay_score_transform,
+                temperature=args.level_replay_temperature,
+                eps=args.level_replay_eps,
+                rho=args.level_replay_rho,
+                replay_prob=args.level_replay_prob,
+                alpha=args.level_replay_alpha,
+                staleness_coef=args.staleness_coef,
+                staleness_transform=args.staleness_transform,
+                staleness_temperature=args.staleness_temperature,
+                seed_buffer_priority=args.level_replay_seed_buffer_priority,
+                gamma=args.gamma,
+                reject_unsolvable=args.reject_unsolvable_seeds,
+            )
+
+        ro_cfg = RolloutConfig(
+            num_steps=args.num_steps,
+            clip_reward=args.clip_reward,
+            handle_timelimits=args.handle_timelimits)
+        self._student_ro_cfg = ro_cfg
+
+        # compiled update fns
+        self.update_agent = make_ppo_update(models['agent'], self.ppo_cfg, N)
+        self.update_antagonist = (
+            make_ppo_update(models['adversary_agent'], self.ppo_cfg, N)
+            if self.is_paired else None)
+        self.update_teacher = (
+            make_ppo_update(models['adversary_env'], self.adv_ppo_cfg, N)
+            if self.is_training_env else None)
+
+        # teacher rollout program
+        self.teacher_random = self.is_dr  # DR = uniform-random adversary
+        self.teacher_rollout_fn = make_adversary_rollout(
+            env, models['adversary_env'], env.adversary_rollout_steps,
+            random_agent=self.teacher_random) if (
+                self.is_training_env or False) else None
+
+        # student rollout programs (per auto-reset behavior)
+        self._ro_same = make_student_rollout(env, models['agent'], ro_cfg)
+        self._ro_random = make_student_rollout(
+            env, models['agent'], ro_cfg, reset_fn=self._reset_random_fn())
+        self._ro_same_ant = (
+            make_student_rollout(env, models['adversary_agent'], ro_cfg)
+            if self.is_paired else None)
+
+        # host-side bookkeeping (reference runner.reset())
+        self.num_updates = 0
+        self.total_num_edits = 0
+        self.total_episodes_collected = 0
+        self.total_seeds_collected = 0
+        self.student_grad_updates = 0
+        self.agent_returns = deque(maxlen=10)
+        self.adversary_agent_returns = deque(maxlen=10)
+        self.latest_env_stats = {}
+
+        self._jit_cache = {}
+        self.state = self._init_state(rng)
+
+    # ------------------------------------------------------------------
+    def _reset_random_fn(self):
+        env = self.env
+
+        def reset_fn(rng, state, seed):
+            state, obs = env.reset_random(rng)
+            return state, obs, seed
+        return reset_fn
+
+    def _replay_reset_fn(self, levels, weights):
+        """Mid-rollout replay resample from frozen weights
+        (adversarial_runner.py:551-558)."""
+        env = self.env
+
+        def reset_fn(rng, state, seed):
+            r1, r2 = jax.random.split(rng)
+            new_seed = jax.random.choice(
+                r1, weights.shape[0], (), p=weights).astype(jnp.int32)
+            state, obs = env.reset_to_level(levels[new_seed])
+            return state, obs, new_seed
+        return reset_fn
+
+    def _init_state(self, rng) -> RunnerState:
+        args = self.args
+        env = self.env
+        N = args.num_processes
+        r = jax.random.split(rng, 8)
+
+        # example observations for init
+        st, obs = jax.vmap(env.reset_random)(jax.random.split(r[0], N))
+        _, adv_obs = jax.vmap(env.reset)(jax.random.split(r[1], N))
+
+        agent = init_agent_state(
+            self.models['agent'], self.ppo_cfg, r[2], obs, N)
+        adversary_agent = (
+            init_agent_state(self.models['adversary_agent'], self.ppo_cfg,
+                             r[3], obs, N) if self.is_paired else None)
+        adversary_env = (
+            init_agent_state(self.models['adversary_env'], self.adv_ppo_cfg,
+                             r[4], adv_obs, N)
+            if self.is_training_env else None)
+
+        plr_agent = plr_antagonist = None
+        if self.use_plr:
+            plr_agent = plr_lib.init_plr(self.plr_cfg, env.level_shape)
+            if self.is_paired and not (
+                    args.protagonist_plr or args.antagonist_plr):
+                plr_antagonist = plr_lib.init_plr(
+                    self.plr_cfg, env.level_shape)
+
+        return RunnerState(
+            rng=r[5],
+            agent=agent,
+            adversary_agent=adversary_agent,
+            adversary_env=adversary_env,
+            plr_agent=plr_agent,
+            plr_antagonist=plr_antagonist,
+            teacher_rollout=None,
+            teacher_next_value=None,
+            env_return_rms=(RMS.create() if args.adv_normalize_returns
+                            else None),
+        )
+
+    # ------------------------------------------------------------------
+    # Level generation (teacher phase)
+    # ------------------------------------------------------------------
+    def _generate_levels(self, state: RunnerState, rng):
+        """→ (env_states, teacher_rollout?, teacher_next_value?)
+
+        Branches (reference agent_rollout is_env, adversarial_runner.py:455-483):
+          * paired/minimax → constructive rollout by the teacher policy
+          * DR + PLR (default) → constructive rollout with a uniform-random
+            teacher (reference ACAgent.random, train.py:84-86)
+          * DR without PLR, or use_reset_random_dr → env.reset_random
+        """
+        env, args = self.env, self.args
+        N = args.num_processes
+        if self.is_training_env:
+            env_states, adv_obs = jax.vmap(env.reset)(
+                jax.random.split(rng, N))
+            params = state.adversary_env.params
+            env_states, t_rollout, t_next_value = self.teacher_rollout_fn(
+                params, env_states, adv_obs, rng)
+            return env_states, t_rollout, t_next_value
+        if self.is_dr and self.use_plr and not args.use_reset_random_dr:
+            return self._random_design(rng), None, None
+        env_states, _ = jax.vmap(env.reset_random)(jax.random.split(rng, N))
+        return env_states, None, None
+
+    def _random_design(self, rng):
+        """Uniform-random adversary builds levels constructively."""
+        env = self.env
+        N = self.args.num_processes
+        rng, r0 = jax.random.split(rng)
+        env_states, _ = jax.vmap(env.reset)(jax.random.split(r0, N))
+        num_actions = env.adversary_num_actions
+
+        def step(carry, _):
+            states, rng = carry
+            rng, r1, r2 = jax.random.split(rng, 3)
+            actions = jax.random.randint(r1, (N,), 0, num_actions)
+            states, _, _ = jax.vmap(env.step_adversary)(
+                states, actions, jax.random.split(r2, N))
+            return (states, rng), None
+
+        (env_states, _), _ = jax.lax.scan(
+            step, (env_states, rng), None,
+            length=env.adversary_rollout_steps)
+        return env_states
+
+    # ------------------------------------------------------------------
+    # Student phase (rollout + GAE + PLR scoring + PPO update)
+    # ------------------------------------------------------------------
+    def _student_phase(self, agent_state, rollout_fn, update_fn, env_states,
+                       level_seeds, plr_buf, rng, discard_grad: bool,
+                       update_sampler: bool, model):
+        args = self.args
+        N = args.num_processes
+        env_states, obs = jax.vmap(self.env.reset_agent)(env_states)
+        carry = initial_step_carry(
+            self.env, model, env_states, obs, rng, level_seeds=level_seeds)
+        final, steps, next_value, ro_stats = rollout_fn(
+            agent_state.params, carry)
+
+        if self.ppo_cfg.use_popart:
+            values_d = popart_lib.denormalize(agent_state.popart, steps.values)
+            next_value_d = popart_lib.denormalize(
+                agent_state.popart, next_value)
+            trunc_d = popart_lib.denormalize(
+                agent_state.popart, steps.trunc_values)
+            gae_rollout = steps.replace(values=values_d, trunc_values=trunc_d)
+        else:
+            values_d, next_value_d, gae_rollout = (
+                steps.values, next_value, steps)
+
+        returns = compute_gae(
+            gae_rollout, next_value_d, args.gamma, args.gae_lambda,
+            use_proper_time_limits=args.handle_timelimits)
+
+        staged_scores = staged_counts = None
+        if plr_buf is not None and update_sampler:
+            plr_buf, staged_scores, staged_counts = plr_lib.update_with_rollout(
+                plr_buf, self.plr_cfg, steps, returns, values_d)
+
+        bvl = batched_value_loss(
+            returns, values_d,
+            clipped=not (args.adv_use_popart or args.adv_normalize_returns))
+
+        rng, sub = jax.random.split(rng)
+        new_agent_state, upd_stats = update_fn(
+            agent_state, steps, returns, model.initial_carry((N,)), sub,
+            discard_grad)
+
+        info = {
+            'rollout': ro_stats,
+            'update': upd_stats,
+            'batched_value_loss': bvl,
+            'final_env_states': final.env_state,
+            'level_seeds_final': final.level_seeds,
+        }
+        return new_agent_state, plr_buf, staged_scores, staged_counts, info
+
+    # ------------------------------------------------------------------
+    # Teacher regret + update
+    # ------------------------------------------------------------------
+    def _env_return(self, state, agent_ro, antag_ro):
+        """reference _compute_env_return (adversarial_runner.py:637-674)."""
+        args = self.args
+        mean_p = agent_ro['mean_return']
+        max_p = agent_ro['max_return']
+        if args.ued_algo == 'paired':
+            env_ret = jnp.maximum(antag_ro['max_return'] - mean_p, 0.0)
+        elif args.ued_algo == 'flexible_paired':
+            ant_wins = antag_ro['max_return'] > max_p
+            env_max = jnp.where(ant_wins, antag_ro['max_return'], max_p)
+            env_mean = jnp.where(ant_wins, mean_p, antag_ro['mean_return'])
+            env_ret = jnp.maximum(env_max - env_mean, 0.0)
+        elif args.ued_algo == 'minimax':
+            env_ret = -max_p
+        else:
+            env_ret = jnp.zeros_like(mean_p)
+
+        rms = state.env_return_rms
+        if rms is not None:
+            rms = rms.update(env_ret)
+            env_ret = env_ret / jnp.sqrt(rms.var + 1e-8)
+        if args.adv_clip_reward is not None:
+            env_ret = jnp.clip(
+                env_ret, -args.adv_clip_reward, args.adv_clip_reward)
+        return env_ret, rms
+
+    def _teacher_update(self, state, env_ret, rng):
+        args = self.args
+        t_ro = state.teacher_rollout.replace_final_reward(env_ret)
+        returns = compute_gae(
+            t_ro, state.teacher_next_value, args.gamma, args.gae_lambda)
+        model = self.models['adversary_env']
+        new_teacher, stats = self.update_teacher(
+            state.adversary_env, t_ro, returns,
+            model.initial_carry((args.num_processes,)), rng, False)
+        return new_teacher, stats
+
+    # ------------------------------------------------------------------
+    # Compiled cycle programs
+    # ------------------------------------------------------------------
+    def _build_cycle_generate(self):
+        args = self.args
+        N = args.num_processes
+        S = self.plr_cfg.capacity if self.use_plr else 0
+        discard = self.use_plr and self.robust_plr
+        env = self.env
+
+        def cycle(state: RunnerState):
+            rng, r_gen, r_stu, r_ant, r_t = jax.random.split(state.rng, 5)
+            env_states, t_rollout, t_next_value = self._generate_levels(
+                state, r_gen)
+            seeds = (jnp.arange(N, dtype=jnp.int32) + S if self.use_plr
+                     else jnp.full((N,), -1, jnp.int32))
+
+            ro_fn = (self._ro_random if (self.is_dr and not self.use_plr)
+                     else self._ro_same)
+            agent_state, plr_a, st_scores, st_counts, a_info = (
+                self._student_phase(
+                    state.agent, ro_fn, self.update_agent, env_states, seeds,
+                    state.plr_agent, r_stu, discard,
+                    update_sampler=self.use_plr,
+                    model=self.models['agent']))
+
+            ant_state, plr_b = state.adversary_agent, state.plr_antagonist
+            b_info = None
+            if self.is_paired:
+                ant_state, plr_b, st_scores_b, st_counts_b, b_info = (
+                    self._student_phase(
+                        state.adversary_agent, self._ro_same_ant,
+                        self.update_antagonist, env_states, seeds,
+                        state.plr_antagonist, r_ant, discard,
+                        update_sampler=state.plr_antagonist is not None,
+                        model=self.models['adversary_agent']))
+
+            # promote this cycle's new levels into the PLR buffer(s)
+            levels = solvable = None
+            if self.use_plr:
+                levels = jax.vmap(env.get_level)(env_states)
+                solvable = jax.vmap(lambda s: s.passable)(env_states)
+                plr_a = plr_lib.promote_staged(
+                    plr_a, self.plr_cfg, levels, st_scores, st_counts,
+                    staged_solvable=solvable)
+                if plr_b is not None:
+                    plr_b = plr_lib.promote_staged(
+                        plr_b, self.plr_cfg, levels, st_scores_b, st_counts_b,
+                        staged_solvable=solvable)
+
+            env_ret, rms = self._env_return(
+                state, a_info['rollout'],
+                b_info['rollout'] if b_info else a_info['rollout'])
+
+            state = state.replace(
+                rng=rng, agent=agent_state, adversary_agent=ant_state,
+                plr_agent=plr_a, plr_antagonist=plr_b,
+                teacher_rollout=t_rollout if t_rollout is not None
+                else state.teacher_rollout,
+                teacher_next_value=t_next_value if t_next_value is not None
+                else state.teacher_next_value,
+                env_return_rms=rms)
+
+            t_stats = None
+            if self.is_training_env and not self.teacher_random:
+                new_teacher, t_stats = self._teacher_update(
+                    state, env_ret, r_t)
+                state = state.replace(adversary_env=new_teacher)
+
+            stats = self._device_stats(
+                state, env_states, a_info, b_info, t_stats, env_ret)
+            return state, stats
+
+        return cycle
+
+    def _build_cycle_replay(self):
+        args = self.args
+        N = args.num_processes
+        env = self.env
+        model = self.models['agent']
+
+        def cycle(state: RunnerState):
+            rng, r_s1, r_s2, r_stu, r_ant, r_t = jax.random.split(state.rng, 6)
+            # protagonist levels from its sampler
+            seeds, levels, plr_a = plr_lib.sample_replay_levels(
+                state.plr_agent, self.plr_cfg, r_s1, N)
+            env_states, _ = jax.vmap(env.reset_to_level)(levels)
+            w = plr_lib.sample_weights(plr_a, self.plr_cfg)
+            ro_fn = make_student_rollout(
+                env, model, self._student_ro_cfg,
+                reset_fn=self._replay_reset_fn(plr_a.levels, w))
+            agent_state, plr_a, _, _, a_info = self._student_phase(
+                state.agent, ro_fn, self.update_agent, env_states, seeds,
+                plr_a, r_stu, False, update_sampler=True, model=model)
+
+            ant_state, plr_b = state.adversary_agent, state.plr_antagonist
+            b_info = None
+            if self.is_paired:
+                buf_b = plr_b if plr_b is not None else plr_a
+                seeds_b, levels_b, buf_b = plr_lib.sample_replay_levels(
+                    buf_b, self.plr_cfg, r_s2, N)
+                env_states_b, _ = jax.vmap(env.reset_to_level)(levels_b)
+                w_b = plr_lib.sample_weights(buf_b, self.plr_cfg)
+                ro_fn_b = make_student_rollout(
+                    env, self.models['adversary_agent'], self._student_ro_cfg,
+                    reset_fn=self._replay_reset_fn(buf_b.levels, w_b))
+                ant_state, buf_b, _, _, b_info = self._student_phase(
+                    state.adversary_agent, ro_fn_b, self.update_antagonist,
+                    env_states_b, seeds_b, buf_b, r_ant, False,
+                    update_sampler=True,
+                    model=self.models['adversary_agent'])
+                if plr_b is not None:
+                    plr_b = buf_b
+                else:
+                    plr_a = buf_b
+
+            env_ret, rms = self._env_return(
+                state, a_info['rollout'],
+                b_info['rollout'] if b_info else a_info['rollout'])
+
+            state = state.replace(
+                rng=rng, agent=agent_state, adversary_agent=ant_state,
+                plr_agent=plr_a, plr_antagonist=plr_b, env_return_rms=rms)
+
+            t_stats = None
+            if (self.is_training_env and not self.teacher_random
+                    and state.teacher_rollout is not None):
+                new_teacher, t_stats = self._teacher_update(
+                    state, env_ret, r_t)
+                state = state.replace(adversary_env=new_teacher)
+
+            # ACCEL 'easy' base selection metric
+            easy_metric = (a_info['rollout']['mean_return']
+                           - a_info['batched_value_loss'])
+            stats = self._device_stats(
+                state, None, a_info, b_info, t_stats, env_ret)
+            return state, stats, seeds, easy_metric
+
+        return cycle
+
+    def _build_cycle_edit(self):
+        """ACCEL: mutate replayed levels, evaluate children with discard_grad,
+        insert with lineage (adversarial_runner.py:756-795)."""
+        args = self.args
+        N = args.num_processes
+        env = self.env
+        model = self.models['agent']
+        S = self.plr_cfg.capacity
+
+        def cycle(state: RunnerState, parent_seeds):
+            rng, r_mut, r_stu = jax.random.split(state.rng, 3)
+            parent_levels = state.plr_agent.levels[parent_seeds]
+            parent_edits = state.plr_agent.num_edits[parent_seeds]
+            env_states, _ = jax.vmap(env.reset_to_level)(parent_levels)
+            env_states, _ = jax.vmap(
+                lambda s, r: env.mutate_level(s, r, args.num_edits)
+            )(env_states, jax.random.split(r_mut, N))
+
+            seeds = jnp.arange(N, dtype=jnp.int32) + S
+            agent_state, plr_a, st_scores, st_counts, a_info = (
+                self._student_phase(
+                    state.agent, self._ro_same, self.update_agent,
+                    env_states, seeds, state.plr_agent, r_stu,
+                    True, update_sampler=True, model=model))
+
+            levels = jax.vmap(env.get_level)(env_states)
+            solvable = jax.vmap(lambda s: s.passable)(env_states)
+            plr_a = plr_lib.promote_staged(
+                plr_a, self.plr_cfg, levels, st_scores, st_counts,
+                staged_solvable=solvable,
+                staged_num_edits=parent_edits + 1)
+            state = state.replace(rng=rng, agent=agent_state, plr_agent=plr_a)
+            return state, a_info['rollout']
+
+        return cycle
+
+    # ------------------------------------------------------------------
+    def _device_stats(self, state, env_states, a_info, b_info, t_stats,
+                      env_ret):
+        stats = {
+            'mean_env_return': env_ret.mean(),
+            'agent_value_loss': a_info['update']['value_loss'],
+            'agent_pg_loss': a_info['update']['action_loss'],
+            'agent_dist_entropy': a_info['update']['dist_entropy'],
+            'agent_grad_norm': a_info['update']['grad_norm'],
+            'mean_agent_return_batch': a_info['rollout']['mean_return'].mean(),
+            'episodes': a_info['rollout']['episode_count'].sum(),
+            'returns_sum': (a_info['rollout']['mean_return']
+                            * a_info['rollout']['episode_count']).sum(),
+        }
+        if b_info is not None:
+            stats.update({
+                'adversary_value_loss': b_info['update']['value_loss'],
+                'adversary_pg_loss': b_info['update']['action_loss'],
+                'adversary_dist_entropy': b_info['update']['dist_entropy'],
+                'mean_adversary_agent_return_batch':
+                    b_info['rollout']['mean_return'].mean(),
+                'adversary_episodes': b_info['rollout']['episode_count'].sum(),
+                'adversary_returns_sum': (
+                    b_info['rollout']['mean_return']
+                    * b_info['rollout']['episode_count']).sum(),
+            })
+        if t_stats is not None:
+            stats.update({
+                'adversary_env_pg_loss': t_stats['action_loss'],
+                'adversary_env_value_loss': t_stats['value_loss'],
+                'adversary_env_dist_entropy': t_stats['dist_entropy'],
+            })
+        if env_states is not None:
+            stats.update({
+                'num_blocks': env_states.n_clutter_placed.mean(),
+                'passable_ratio': env_states.passable.mean(),
+                'shortest_path_length':
+                    env_states.shortest_path_length.mean(),
+            })
+        if state.plr_agent is not None:
+            stats.update(plr_lib.plr_stats(state.plr_agent, self.plr_cfg))
+        return stats
+
+    # ------------------------------------------------------------------
+    def _jit(self, name, builder):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(builder())
+        return self._jit_cache[name]
+
+    def run(self) -> Dict[str, float]:
+        """One full DCD cycle; returns host-side stats dict."""
+        args = self.args
+        np_rng = np.random
+
+        level_replay = False
+        if self.use_plr:
+            # host-side coin for program selection (decision itself uses the
+            # same formula as the reference, on current buffer state)
+            dec_rng, _ = jax.random.split(self.state.rng)
+            level_replay = bool(plr_lib.sample_replay_decision(
+                self.state.plr_agent, self.plr_cfg, dec_rng))
+
+        student_grad = not (self.use_plr and not level_replay
+                            and self.robust_plr)
+        if student_grad:
+            self.student_grad_updates += 1
+
+        if level_replay:
+            cycle = self._jit('replay', self._build_cycle_replay)
+            self.state, stats, seeds, easy_metric = cycle(self.state)
+        else:
+            cycle = self._jit('generate', self._build_cycle_generate)
+            self.state, stats = cycle(self.state)
+            seeds = easy_metric = None
+            self.total_seeds_collected += args.num_processes
+
+        # ACCEL edit branch
+        edit = (self.use_editor and level_replay
+                and np_rng.random() < args.level_editor_prob)
+        if edit:
+            if args.base_levels == 'easy' and args.num_processes >= 4:
+                order = np.argsort(np.asarray(easy_metric))[:4]
+                parents = jnp.asarray(
+                    np.tile(np.asarray(seeds)[order],
+                            args.num_processes // 4))
+            else:
+                parents = seeds
+            cycle_edit = self._jit('edit', self._build_cycle_edit)
+            self.state, edit_ro = cycle_edit(self.state, parents)
+            self.total_num_edits += 1
+
+        self.num_updates += 1
+
+        # host-side stat assembly
+        host = {k: float(np.asarray(v)) for k, v in stats.items()}
+        n_epi = host.pop('episodes', 0)
+        ret_sum = host.pop('returns_sum', 0.0)
+        self.total_episodes_collected += int(n_epi)
+        if n_epi > 0:
+            self.agent_returns.append(ret_sum / n_epi)
+        host.pop('adversary_episodes', None)
+        adv_sum = host.pop('adversary_returns_sum', None)
+        host['mean_agent_return'] = (
+            float(np.mean(self.agent_returns)) if self.agent_returns else 0.0)
+        host.update({
+            'steps': ((self.num_updates + self.total_num_edits)
+                      * args.num_processes * args.num_steps),
+            'total_episodes': self.total_episodes_collected,
+            'total_seeds': self.total_seeds_collected,
+            'total_student_grad_updates': self.student_grad_updates,
+            'level_replay': int(level_replay),
+            'total_num_edits': self.total_num_edits,
+        })
+        return host

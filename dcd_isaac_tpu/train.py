@@ -1,0 +1,125 @@
+"""Training driver (reference train.py:38-237).
+
+``python -m dcd_isaac_tpu.train --env_name=... --ued_algo=...`` — builds the
+env engine, models, runner and evaluator; runs the update loop with
+logging / checkpointing / in-training zero-shot evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from .arguments import parser
+from .envs.registry import make_env
+from .runner.adversarial_runner import AdversarialRunner
+from .runner.evaluation import Evaluator
+from .utils.checkpoint import archive_path, load_checkpoint, save_checkpoint
+from .utils.filewriter import FileWriter
+from .utils.make_agent import make_all_models
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+
+    env = make_env(args.env_name)
+    models = make_all_models(args, env)
+    rng = jax.random.PRNGKey(args.seed)
+
+    runner = AdversarialRunner(args, env, models, rng)
+
+    log_dir = os.path.expandvars(os.path.expanduser(args.log_dir))
+    filewriter = FileWriter(
+        xpid=args.xpid, xp_args=vars(args), rootdir=log_dir)
+    checkpoint_path = os.path.join(filewriter.basepath, 'model.tar')
+
+    # resume (reference train.py:128-134)
+    initial_update = 0
+    if args.checkpoint and os.path.exists(checkpoint_path):
+        runner.state, host = load_checkpoint(checkpoint_path, runner.state)
+        for k, v in host.items():
+            setattr(runner, k, v)
+        initial_update = runner.num_updates
+        print(f'Resumed from update {initial_update}', flush=True)
+
+    evaluator = None
+    test_env_names = [e for e in args.test_env_names.split(',') if e]
+    if test_env_names and args.test_interval > 0:
+        evaluator = Evaluator(
+            test_env_names, num_episodes=args.test_num_episodes)
+
+    num_updates = int(
+        args.num_env_steps) // args.num_steps // args.num_processes
+
+    last_logged_update = filewriter.latest_tick - 1
+
+    timer = time.time()
+    for j in range(initial_update, num_updates):
+        stats = runner.run()
+
+        if evaluator is not None and args.test_interval > 0 and (
+                (j % args.test_interval == 0) or j == num_updates - 1):
+            test_stats = evaluator.evaluate(
+                models['agent'], runner.state.agent.params,
+                seed=args.seed + j)
+            stats.update(test_stats)
+
+        if j % args.log_interval == 0 and j > last_logged_update:
+            now = time.time()
+            sps = (args.num_processes * args.num_steps
+                   * args.log_interval) / max(now - timer, 1e-9)
+            timer = now
+            stats['sps'] = sps
+            stats['total_updates'] = j + 1
+            filewriter.log(stats)
+            if args.verbose or True:
+                msg = (f"u{j + 1}/{num_updates} sps={sps:.0f} "
+                       f"ret={stats.get('mean_agent_return', 0):.3f}")
+                if 'solved_rate:' + (test_env_names[0] if test_env_names
+                                     else '') in stats:
+                    msg += (f" solve0="
+                            f"{stats['solved_rate:' + test_env_names[0]]:.2f}")
+                print(msg, flush=True)
+
+        if args.use_plr and args.weight_log_interval > 0 and \
+                j % args.weight_log_interval == 0:
+            from .level_replay import plr as plr_lib
+            w = np.asarray(plr_lib.sample_weights(
+                runner.state.plr_agent, runner.plr_cfg))
+            filewriter.log_level_weights(w)
+
+        checkpoint_basis = (
+            runner.num_updates if args.checkpoint_basis == 'num_updates'
+            else runner.student_grad_updates)
+        if args.checkpoint and not args.disable_checkpoint and \
+                args.checkpoint_interval > 0 and \
+                checkpoint_basis % args.checkpoint_interval == 0:
+            host = {
+                'num_updates': runner.num_updates,
+                'total_num_edits': runner.total_num_edits,
+                'total_episodes_collected': runner.total_episodes_collected,
+                'total_seeds_collected': runner.total_seeds_collected,
+                'student_grad_updates': runner.student_grad_updates,
+            }
+            save_checkpoint(checkpoint_path, runner.state, host)
+            if args.archive_interval > 0 and \
+                    checkpoint_basis % args.archive_interval == 0:
+                save_checkpoint(
+                    archive_path(checkpoint_path, checkpoint_basis),
+                    runner.state, host)
+
+    # final eval (reference train.py / eval.py final_test_eval)
+    if evaluator is not None:
+        final_stats = evaluator.evaluate(
+            models['agent'], runner.state.agent.params, seed=args.seed)
+        filewriter.log_final_test_eval(final_stats)
+    filewriter.mark_completed()
+    return runner
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,49 @@
+"""Model factory (reference util/make_agent.py:15-244).
+
+Dispatches on env family and agent role ('agent' | 'adversary_agent' |
+'adversary_env') with the reference's hyperparameters.
+"""
+
+from __future__ import annotations
+
+from ..envs.registry import env_family
+from ..models.multigrid_models import MultigridNetwork
+
+
+def make_model(args, env, agent_type: str):
+    family = env_family(args.env_name)
+    if family == 'multigrid':
+        if agent_type == 'adversary_env':
+            recurrent = (args.recurrent_arch
+                         if args.recurrent_adversary_env else None)
+            return MultigridNetwork(
+                num_actions=env.adversary_num_actions,
+                conv_filters=128,
+                scalar_fc=10,
+                scalar_dim=env.params.adversary_max_steps + 1,
+                random_z_dim=env.params.random_z_dim,
+                recurrent_arch=recurrent,
+                recurrent_hidden_size=args.recurrent_hidden_size)
+        recurrent = args.recurrent_arch if args.recurrent_agent else None
+        return MultigridNetwork(
+            num_actions=env.num_actions,
+            scalar_fc=5,
+            scalar_dim=4,
+            recurrent_arch=recurrent,
+            recurrent_hidden_size=args.recurrent_hidden_size)
+    if family == 'walker':
+        from ..models.walker_models import make_walker_model
+        return make_walker_model(args, env, agent_type)
+    if family == 'carracing':
+        from ..models.car_racing_models import make_carracing_model
+        return make_carracing_model(args, env, agent_type)
+    raise ValueError(family)
+
+
+def make_all_models(args, env):
+    models = {'agent': make_model(args, env, 'agent')}
+    if args.ued_algo in ('paired', 'flexible_paired'):
+        models['adversary_agent'] = make_model(args, env, 'adversary_agent')
+    if args.ued_algo in ('paired', 'flexible_paired', 'minimax'):
+        models['adversary_env'] = make_model(args, env, 'adversary_env')
+    return models
