@@ -1,0 +1,82 @@
+"""Throughput benchmark: env-steps/s on MultiGrid PAIRED (the headline
+metric; BASELINE.md north star).
+
+Runs full DCD PAIRED cycles (teacher construction scan + student +
+antagonist rollouts + 3 PPO updates) on the default adversarial env
+(15x15, n_clutter=50) and reports student+antagonist env-steps/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the reference architecture's subprocess
+ceiling (~1e3 env-steps/s; SURVEY.md §6).
+"""
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='small config for smoke runs')
+    ap.add_argument('--num_processes', type=int, default=None)
+    ap.add_argument('--num_steps', type=int, default=None)
+    ap.add_argument('--cycles', type=int, default=None)
+    args_cli = ap.parse_args()
+
+    import jax
+
+    from dcd_isaac_tpu.arguments import parser
+    from dcd_isaac_tpu.envs.registry import make_env
+    from dcd_isaac_tpu.runner.adversarial_runner import AdversarialRunner
+    from dcd_isaac_tpu.utils.make_agent import make_all_models
+
+    if args_cli.quick:
+        N, T, cycles, env_name = 64, 64, 3, 'MultiGrid-MiniAdversarial-v0'
+    else:
+        N, T, cycles, env_name = 1024, 256, 5, 'MultiGrid-Adversarial-v0'
+    N = args_cli.num_processes or N
+    T = args_cli.num_steps or T
+    cycles = args_cli.cycles or cycles
+
+    args = parser.parse_args([
+        '--env_name', env_name,
+        '--ued_algo', 'paired',
+        '--num_processes', str(N),
+        '--num_steps', str(T),
+        '--ppo_epoch', '5',
+        '--num_mini_batch', '1',
+        '--recurrent_adversary_env', 'true',
+        '--handle_timelimits', 'true',
+    ])
+
+    env = make_env(args.env_name)
+    models = make_all_models(args, env)
+    runner = AdversarialRunner(args, env, models, jax.random.PRNGKey(0))
+
+    # warmup / compile
+    runner.run()
+    jax.block_until_ready(runner.state.agent.params)
+
+    t0 = time.perf_counter()
+    for _ in range(cycles):
+        runner.run()
+    jax.block_until_ready(runner.state.agent.params)
+    dt = time.perf_counter() - t0
+
+    # student + antagonist env steps per cycle (teacher construction steps
+    # excluded, matching the reference sps definition, train.py:184-186)
+    env_steps = 2 * N * T * cycles
+    sps = env_steps / dt
+
+    baseline_sps = 1000.0  # reference subprocess architecture (SURVEY.md §6)
+    print(json.dumps({
+        'metric': 'env_steps_per_sec_multigrid_paired',
+        'value': round(sps, 1),
+        'unit': 'steps/s',
+        'vs_baseline': round(sps / baseline_sps, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -67,7 +67,7 @@ def make_ppo_update(
     model,
     cfg: PPOConfig,
     num_actors: int,
-    critic_head_path: Tuple[str, ...] = ('params', 'critic_head'),
+    critic_head_path: Tuple[str, ...] = ('critic_head',),
 ) -> Callable:
     """Build the jittable update(train_state, rollout, returns, init_carry,
     rng, discard_grad) → (train_state, stats) function."""
@@ -84,11 +84,7 @@ def make_ppo_update(
         else:
             out, values, _ = model.apply(params, obs, init_carry, masks_pre)
 
-        if is_discrete:
-            new_log_probs = categorical_log_prob(out, actions)
-            entropy = categorical_entropy(out).mean()
-        else:
-            new_log_probs, entropy = model.dist_log_prob_entropy(out, actions)
+        new_log_probs, entropy = model.log_prob_entropy(out, actions)
 
         ratio = jnp.exp(new_log_probs - old_log_probs)
         surr1 = ratio * advs

@@ -72,19 +72,24 @@ def make_student_rollout(
     v_step = jax.vmap(lambda s, a: env.step(s, a))
     v_reset = jax.vmap(reset_fn)
 
+    is_discrete = model.dist_type == 'categorical'
+
     def policy_step(params, obs, rnn_carry, mask, rng):
-        logits, value, rnn_carry = model.apply(params, obs, rnn_carry, mask)
+        out, value, rnn_carry = model.apply(params, obs, rnn_carry, mask)
+        action, log_prob = model.sample_action(rng, out)
         if cfg.random_agent:
-            n = logits.shape[0]
-            action = jax.random.randint(rng, (n,), 0, num_actions)
+            n = value.shape[0]
+            if is_discrete:
+                action = jax.random.randint(rng, (n,), 0, num_actions)
+                log_prob = model.log_prob_entropy(out, action)[0]
+            else:
+                action = jax.random.uniform(
+                    rng, action.shape, minval=-1.0, maxval=1.0)
             value = jnp.zeros_like(value)
-        elif sample_action_fn is not None:
-            action = sample_action_fn(rng, logits)
-        else:
-            action = categorical_sample(rng, logits)
-        log_dist = jax.nn.log_softmax(logits, axis=-1)
-        log_prob = jnp.take_along_axis(
-            log_dist, action[..., None], axis=-1).squeeze(-1)
+        # Full log-dist for discrete (PLR entropy scores); log-prob otherwise
+        # (reference storage.py:83-88).
+        log_dist = (jax.nn.log_softmax(out, axis=-1) if is_discrete
+                    else log_prob)
         return action, value, log_prob, log_dist, rnn_carry
 
     def rollout(params, carry: StepCarry):
@@ -220,6 +225,8 @@ def make_adversary_rollout(env, model, adv_steps: int,
     num_actions = env.adversary_num_actions
     v_adv = jax.vmap(env.step_adversary)
 
+    is_discrete = model.dist_type == 'categorical'
+
     def rollout(params, env_state, obs0, rng):
         n = jax.tree.leaves(obs0)[0].shape[0]
         carry0 = (rng, env_state, obs0, model.initial_carry((n,)),
@@ -228,16 +235,19 @@ def make_adversary_rollout(env, model, adv_steps: int,
         def scan_step(carry, t):
             rng, env_state, obs, rnn_carry, mask = carry
             rng, r_act, r_env = jax.random.split(rng, 3)
-            logits, value, rnn_carry = model.apply(
+            out, value, rnn_carry = model.apply(
                 params, obs, rnn_carry, mask)
+            action, log_prob = model.sample_action(r_act, out)
             if random_agent:
-                action = jax.random.randint(r_act, (n,), 0, num_actions)
+                if is_discrete:
+                    action = jax.random.randint(r_act, (n,), 0, num_actions)
+                    log_prob = model.log_prob_entropy(out, action)[0]
+                else:
+                    action = jax.random.uniform(
+                        r_act, action.shape, minval=-1.0, maxval=1.0)
                 value = jnp.zeros_like(value)
-            else:
-                action = categorical_sample(r_act, logits)
-            log_dist = jax.nn.log_softmax(logits, axis=-1)
-            log_prob = jnp.take_along_axis(
-                log_dist, action[..., None], axis=-1).squeeze(-1)
+            log_dist = (jax.nn.log_softmax(out, axis=-1) if is_discrete
+                        else log_prob)
 
             env_state, next_obs, done = v_adv(
                 env_state, action, jax.random.split(r_env, n))

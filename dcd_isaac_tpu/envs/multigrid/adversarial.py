@@ -73,6 +73,11 @@ class AdversarialMultiGrid:
         return (self.params.width, self.params.height, 3)
 
     @property
+    def level_dtype(self):
+        import jax.numpy as jnp
+        return jnp.uint8
+
+    @property
     def max_episode_steps(self) -> int:
         return self.params.max_steps
 

@@ -99,3 +99,14 @@ class MultigridNetwork(nn.Module):
         carry, core = self.core.sequence(carry, x, masks)
         logits, value = self._heads(core)
         return logits, value, carry
+
+    # --- distribution protocol (pure; safe unbound) ----------------------
+    def sample_action(self, rng, logits):
+        from .distributions import categorical_log_prob, categorical_sample
+        a = categorical_sample(rng, logits)
+        return a, categorical_log_prob(logits, a)
+
+    def log_prob_entropy(self, logits, actions):
+        from .distributions import categorical_entropy, categorical_log_prob
+        return (categorical_log_prob(logits, actions),
+                categorical_entropy(logits).mean())

@@ -212,11 +212,12 @@ class AdversarialRunner:
 
         plr_agent = plr_antagonist = None
         if self.use_plr:
-            plr_agent = plr_lib.init_plr(self.plr_cfg, env.level_shape)
+            plr_agent = plr_lib.init_plr(self.plr_cfg, env.level_shape,
+                                         env.level_dtype)
             if self.is_paired and not (
                     args.protagonist_plr or args.antagonist_plr):
                 plr_antagonist = plr_lib.init_plr(
-                    self.plr_cfg, env.level_shape)
+                    self.plr_cfg, env.level_shape, env.level_dtype)
 
         return RunnerState(
             rng=r[5],
@@ -411,7 +412,10 @@ class AdversarialRunner:
             levels = solvable = None
             if self.use_plr:
                 levels = jax.vmap(env.get_level)(env_states)
-                solvable = jax.vmap(lambda s: s.passable)(env_states)
+                solvable = (
+                    jax.vmap(lambda s: s.passable)(env_states)
+                    if hasattr(env_states, 'passable')
+                    else jnp.ones((N,), bool))
                 plr_a = plr_lib.promote_staged(
                     plr_a, self.plr_cfg, levels, st_scores, st_counts,
                     staged_solvable=solvable)
@@ -536,7 +540,10 @@ class AdversarialRunner:
                     True, update_sampler=True, model=model))
 
             levels = jax.vmap(env.get_level)(env_states)
-            solvable = jax.vmap(lambda s: s.passable)(env_states)
+            solvable = (
+                jax.vmap(lambda s: s.passable)(env_states)
+                if hasattr(env_states, 'passable')
+                else jnp.ones((N,), bool))
             plr_a = plr_lib.promote_staged(
                 plr_a, self.plr_cfg, levels, st_scores, st_counts,
                 staged_solvable=solvable,
@@ -579,12 +586,21 @@ class AdversarialRunner:
                 'adversary_env_dist_entropy': t_stats['dist_entropy'],
             })
         if env_states is not None:
-            stats.update({
-                'num_blocks': env_states.n_clutter_placed.mean(),
-                'passable_ratio': env_states.passable.mean(),
-                'shortest_path_length':
-                    env_states.shortest_path_length.mean(),
-            })
+            if hasattr(env_states, 'n_clutter_placed'):
+                stats.update({
+                    'num_blocks': env_states.n_clutter_placed.mean(),
+                    'passable_ratio': env_states.passable.mean(),
+                    'shortest_path_length':
+                        env_states.shortest_path_length.mean(),
+                })
+            elif hasattr(env_states, 'level_params'):
+                p = env_states.level_params
+                stats.update({
+                    'ground_roughness': p[:, 0].mean(),
+                    'pit_gap_high': jnp.maximum(p[:, 1], p[:, 2]).mean(),
+                    'stump_height_high': jnp.maximum(p[:, 3], p[:, 4]).mean(),
+                    'stair_height_high': jnp.maximum(p[:, 5], p[:, 6]).mean(),
+                })
         if state.plr_agent is not None:
             stats.update(plr_lib.plr_stats(state.plr_agent, self.plr_cfg))
         return stats

@@ -1,15 +1,17 @@
 """Zero-shot evaluation harness.
 
 Replaces reference eval.py's Evaluator (subprocess envs stepping until
-num_episodes returns collect, eval.py:250-329) with a batched design: each
+num_episodes returns collected, eval.py:250-329) with a batched design: each
 test env contributes ``num_episodes`` level instances evaluated in one
-fixed-length jitted scan (one episode per instance — the level layouts are
-fixed per episode, so parallel instances ≡ sequential episodes).
+fixed-length jitted scan (one episode per instance — level layouts are fixed
+per episode, so parallel instances ≡ sequential episodes).
+
+Covers the reference benchmark suites (eval.py:332-368): 'maze' (MultiGrid
+OOD), 'bipedal' and 'poetrose' (walker), 'f1' (CarRacing).
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List
 
 import jax
@@ -18,7 +20,11 @@ import numpy as np
 
 from ..envs.multigrid import AdversarialMultiGrid
 from ..envs.multigrid.mazes import EVAL_ENVS, ZS_MINIGRID_BENCHMARK
-from ..models.distributions import categorical_sample
+from ..envs.walker import AdversarialWalker, WalkerParams
+from ..envs.walker.test_envs import (
+    BIPEDAL_BENCHMARK, POETROSE_BENCHMARK, WALKER_TEST_PARAMS,
+    build_walker_levels,
+)
 
 
 def _solved_threshold(env_name: str) -> float:
@@ -26,6 +32,19 @@ def _solved_threshold(env_name: str) -> float:
     if env_name.startswith('Bipedal'):
         return 230.0
     return 0.0
+
+
+def benchmark_env_names(benchmark: str) -> List[str]:
+    if benchmark == 'maze':
+        return list(ZS_MINIGRID_BENCHMARK)
+    if benchmark == 'bipedal':
+        return list(BIPEDAL_BENCHMARK)
+    if benchmark == 'poetrose':
+        return list(POETROSE_BENCHMARK)
+    if benchmark == 'f1':
+        from ..envs.carracing.f1 import F1_BENCHMARK
+        return list(F1_BENCHMARK)
+    raise ValueError(benchmark)
 
 
 class Evaluator:
@@ -38,9 +57,24 @@ class Evaluator:
         self.deterministic = deterministic
         self._progs = {}
 
-    def _make_prog(self, spec, model):
-        env = AdversarialMultiGrid(spec.params)
-        T = spec.params.max_steps
+    def _build_env(self, name: str):
+        """→ (env, T, build_levels(np_rng, n) -> levels array)."""
+        if name in WALKER_TEST_PARAMS:
+            env = AdversarialWalker(WalkerParams())
+            return env, env.params.max_steps, (
+                lambda rng, n: jnp.asarray(build_walker_levels(name, rng, n)))
+        if name in EVAL_ENVS:
+            spec = EVAL_ENVS[name]
+            env = AdversarialMultiGrid(spec.params)
+            return env, spec.params.max_steps, (
+                lambda rng, n: jnp.asarray(spec.build(rng, n)))
+        if name.startswith('CarRacing'):
+            from ..envs.carracing import make_eval_builder
+            return make_eval_builder(name)
+        raise ValueError(f'Unknown eval env {name}')
+
+    def _make_prog(self, name: str, model):
+        env, T, build = self._build_env(name)
 
         def prog(params, levels, rng):
             n = levels.shape[0]
@@ -51,11 +85,14 @@ class Evaluator:
             def step(scan_carry, _):
                 rng, env_states, obs, carry, mask, done_acc, ret = scan_carry
                 rng, r_act = jax.random.split(rng)
-                logits, _, carry = model.apply(params, obs, carry, mask)
+                out, _, carry = model.apply(params, obs, carry, mask)
                 if self.deterministic:
-                    action = jnp.argmax(logits, -1)
+                    if model.dist_type == 'categorical':
+                        action = jnp.argmax(out, -1)
+                    else:
+                        action = out['mean']
                 else:
-                    action = categorical_sample(r_act, logits)
+                    action, _ = model.sample_action(r_act, out)
                 env_states, obs, reward, done, _ = jax.vmap(env.step)(
                     env_states, action)
                 ret = ret + reward * (1.0 - done_acc)
@@ -65,11 +102,10 @@ class Evaluator:
 
             init = (rng, env_states, obs, carry, mask,
                     jnp.zeros((n,)), jnp.zeros((n,)))
-            (rng, env_states, obs, carry, mask, done_acc, ret), _ = (
-                jax.lax.scan(step, init, None, length=T))
-            return ret
+            final, _ = jax.lax.scan(step, init, None, length=T)
+            return final[-1]
 
-        return env, jax.jit(prog)
+        return build, jax.jit(prog)
 
     def evaluate(self, model, params, rng=None,
                  seed: int = 0) -> Dict[str, float]:
@@ -77,11 +113,10 @@ class Evaluator:
         np_rng = np.random.RandomState(seed)
         stats = {}
         for name in self.env_names:
-            spec = EVAL_ENVS[name]
             if name not in self._progs:
-                self._progs[name] = self._make_prog(spec, model)
-            env, prog = self._progs[name]
-            levels = jnp.asarray(spec.build(np_rng, self.num_episodes))
+                self._progs[name] = self._make_prog(name, model)
+            build, prog = self._progs[name]
+            levels = build(np_rng, self.num_episodes)
             rng, sub = jax.random.split(rng)
             returns = np.asarray(prog(params, levels, sub))
             thr = _solved_threshold(name)
