@@ -38,6 +38,11 @@ class StepCarry(NamedTuple):
     epi_count: jnp.ndarray     # (N,) completed episodes this rollout
     ret_sum: jnp.ndarray       # (N,) sum of completed episode returns
     ret_max: jnp.ndarray       # (N,) max completed episode return
+    # VecNormalize returns-RMS reward normalization (vec_normalize.py:37-53)
+    ret_accum: jnp.ndarray     # (N,) discounted return accumulator
+    rms_mean: jnp.ndarray      # ()
+    rms_var: jnp.ndarray       # ()
+    rms_count: jnp.ndarray     # ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +51,7 @@ class RolloutConfig:
     clip_reward: Optional[float] = None
     handle_timelimits: bool = False
     random_agent: bool = False   # uniform-random policy (DR teacher)
+    normalize_returns_gamma: Optional[float] = None  # VecNormalize γ
 
 
 def make_student_rollout(
@@ -128,6 +134,28 @@ def make_student_rollout(
                 real_done, jnp.maximum(carry.ret_max, epi_return),
                 carry.ret_max)
 
+            # VecNormalize: divide rewards by the returns RMS (the episode
+            # stats above use raw rewards, matching the wrapper order).
+            if cfg.normalize_returns_gamma is not None:
+                g = cfg.normalize_returns_gamma
+                ret_accum = carry.ret_accum * g + reward
+                b_mean = ret_accum.mean()
+                b_var = ret_accum.var()
+                bc = ret_accum.shape[0]
+                delta = b_mean - carry.rms_mean
+                tot = carry.rms_count + bc
+                rms_mean = carry.rms_mean + delta * bc / tot
+                m2 = (carry.rms_var * carry.rms_count + b_var * bc
+                      + delta ** 2 * carry.rms_count * bc / tot)
+                rms_var = m2 / tot
+                rms_count = tot
+                reward = reward / jnp.sqrt(rms_var + 1e-8)
+                ret_accum = jnp.where(real_done, 0.0, ret_accum)
+            else:
+                ret_accum = carry.ret_accum
+                rms_mean, rms_var, rms_count = (
+                    carry.rms_mean, carry.rms_var, carry.rms_count)
+
             if cfg.clip_reward:
                 reward = jnp.clip(
                     reward, -cfg.clip_reward, cfg.clip_reward)
@@ -172,6 +200,10 @@ def make_student_rollout(
                 epi_count=epi_count,
                 ret_sum=ret_sum,
                 ret_max=ret_max,
+                ret_accum=ret_accum,
+                rms_mean=rms_mean,
+                rms_var=rms_var,
+                rms_count=rms_count,
             )
             return new_carry, step_data
 
@@ -194,11 +226,19 @@ def make_student_rollout(
     return rollout
 
 
-def initial_step_carry(env, model, env_state, obs, rng, level_seeds=None):
-    """Fresh StepCarry for a batch of already-reset envs."""
+def initial_step_carry(env, model, env_state, obs, rng, level_seeds=None,
+                       ret_rms=None):
+    """Fresh StepCarry for a batch of already-reset envs.
+
+    ``ret_rms`` = (ret_accum, mean, var, count) carried across cycles when
+    return normalization is active (the VecNormalize statistics persist for
+    the whole run)."""
     n = jax.tree.leaves(obs)[0].shape[0]
     if level_seeds is None:
         level_seeds = jnp.full((n,), -1, dtype=jnp.int32)
+    if ret_rms is None:
+        ret_rms = (jnp.zeros((n,)), jnp.float32(0.0), jnp.float32(1.0),
+                   jnp.float32(1e-4))
     return StepCarry(
         rng=rng,
         env_state=env_state,
@@ -210,6 +250,10 @@ def initial_step_carry(env, model, env_state, obs, rng, level_seeds=None):
         epi_count=jnp.zeros((n,), jnp.int32),
         ret_sum=jnp.zeros((n,)),
         ret_max=jnp.full((n,), -jnp.inf),
+        ret_accum=ret_rms[0],
+        rms_mean=ret_rms[1],
+        rms_var=ret_rms[2],
+        rms_count=ret_rms[3],
     )
 
 

@@ -73,6 +73,8 @@ class AdversarialWalker:
     def adversary_num_actions(self) -> int:
         return 1
 
+    adversary_discrete = False
+
     @property
     def adversary_rollout_steps(self) -> int:
         return 5 if self.params.poet else 8

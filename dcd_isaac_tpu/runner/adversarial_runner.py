@@ -70,6 +70,7 @@ class RunnerState:
     teacher_rollout: Optional[Any]      # last teacher construction rollout
     teacher_next_value: Optional[jnp.ndarray]
     env_return_rms: Optional[RMS]
+    ret_rms: Optional[Any]              # VecNormalize (accum, mean, var, cnt)
 
 
 class AdversarialRunner:
@@ -128,7 +129,9 @@ class AdversarialRunner:
         ro_cfg = RolloutConfig(
             num_steps=args.num_steps,
             clip_reward=args.clip_reward,
-            handle_timelimits=args.handle_timelimits)
+            handle_timelimits=args.handle_timelimits,
+            normalize_returns_gamma=(
+                0.99 if args.normalize_returns else None))
         self._student_ro_cfg = ro_cfg
 
         # compiled update fns
@@ -230,6 +233,9 @@ class AdversarialRunner:
             teacher_next_value=None,
             env_return_rms=(RMS.create() if args.adv_normalize_returns
                             else None),
+            ret_rms=((jnp.zeros((N,)), jnp.float32(0.0), jnp.float32(1.0),
+                      jnp.float32(1e-4))
+                     if args.normalize_returns else None),
         )
 
     # ------------------------------------------------------------------
@@ -253,7 +259,9 @@ class AdversarialRunner:
             env_states, t_rollout, t_next_value = self.teacher_rollout_fn(
                 params, env_states, adv_obs, rng)
             return env_states, t_rollout, t_next_value
-        if self.is_dr and self.use_plr and not args.use_reset_random_dr:
+        adversary_discrete = getattr(self.env, 'adversary_discrete', True)
+        if (self.is_dr and self.use_plr and not args.use_reset_random_dr
+                and adversary_discrete):
             return self._random_design(rng), None, None
         env_states, _ = jax.vmap(env.reset_random)(jax.random.split(rng, N))
         return env_states, None, None
@@ -284,12 +292,13 @@ class AdversarialRunner:
     # ------------------------------------------------------------------
     def _student_phase(self, agent_state, rollout_fn, update_fn, env_states,
                        level_seeds, plr_buf, rng, discard_grad: bool,
-                       update_sampler: bool, model):
+                       update_sampler: bool, model, ret_rms=None):
         args = self.args
         N = args.num_processes
         env_states, obs = jax.vmap(self.env.reset_agent)(env_states)
         carry = initial_step_carry(
-            self.env, model, env_states, obs, rng, level_seeds=level_seeds)
+            self.env, model, env_states, obs, rng, level_seeds=level_seeds,
+            ret_rms=ret_rms)
         final, steps, next_value, ro_stats = rollout_fn(
             agent_state.params, carry)
 
@@ -328,6 +337,8 @@ class AdversarialRunner:
             'batched_value_loss': bvl,
             'final_env_states': final.env_state,
             'level_seeds_final': final.level_seeds,
+            'ret_rms': (final.ret_accum, final.rms_mean, final.rms_var,
+                        final.rms_count),
         }
         return new_agent_state, plr_buf, staged_scores, staged_counts, info
 
@@ -395,7 +406,9 @@ class AdversarialRunner:
                     state.agent, ro_fn, self.update_agent, env_states, seeds,
                     state.plr_agent, r_stu, discard,
                     update_sampler=self.use_plr,
-                    model=self.models['agent']))
+                    model=self.models['agent'], ret_rms=state.ret_rms))
+            ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
+                       else None)
 
             ant_state, plr_b = state.adversary_agent, state.plr_antagonist
             b_info = None
@@ -406,7 +419,10 @@ class AdversarialRunner:
                         self.update_antagonist, env_states, seeds,
                         state.plr_antagonist, r_ant, discard,
                         update_sampler=state.plr_antagonist is not None,
-                        model=self.models['adversary_agent']))
+                        model=self.models['adversary_agent'],
+                        ret_rms=ret_rms))
+                if ret_rms is not None:
+                    ret_rms = b_info['ret_rms']
 
             # promote this cycle's new levels into the PLR buffer(s)
             levels = solvable = None
@@ -435,7 +451,7 @@ class AdversarialRunner:
                 else state.teacher_rollout,
                 teacher_next_value=t_next_value if t_next_value is not None
                 else state.teacher_next_value,
-                env_return_rms=rms)
+                env_return_rms=rms, ret_rms=ret_rms)
 
             t_stats = None
             if self.is_training_env and not self.teacher_random:
@@ -467,7 +483,10 @@ class AdversarialRunner:
                 reset_fn=self._replay_reset_fn(plr_a.levels, w))
             agent_state, plr_a, _, _, a_info = self._student_phase(
                 state.agent, ro_fn, self.update_agent, env_states, seeds,
-                plr_a, r_stu, False, update_sampler=True, model=model)
+                plr_a, r_stu, False, update_sampler=True, model=model,
+                ret_rms=state.ret_rms)
+            ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
+                       else None)
 
             ant_state, plr_b = state.adversary_agent, state.plr_antagonist
             b_info = None
@@ -484,7 +503,9 @@ class AdversarialRunner:
                     state.adversary_agent, ro_fn_b, self.update_antagonist,
                     env_states_b, seeds_b, buf_b, r_ant, False,
                     update_sampler=True,
-                    model=self.models['adversary_agent'])
+                    model=self.models['adversary_agent'], ret_rms=ret_rms)
+                if ret_rms is not None:
+                    ret_rms = b_info['ret_rms']
                 if plr_b is not None:
                     plr_b = buf_b
                 else:
@@ -496,7 +517,8 @@ class AdversarialRunner:
 
             state = state.replace(
                 rng=rng, agent=agent_state, adversary_agent=ant_state,
-                plr_agent=plr_a, plr_antagonist=plr_b, env_return_rms=rms)
+                plr_agent=plr_a, plr_antagonist=plr_b, env_return_rms=rms,
+                ret_rms=ret_rms)
 
             t_stats = None
             if (self.is_training_env and not self.teacher_random
@@ -537,7 +559,10 @@ class AdversarialRunner:
                 self._student_phase(
                     state.agent, self._ro_same, self.update_agent,
                     env_states, seeds, state.plr_agent, r_stu,
-                    True, update_sampler=True, model=model))
+                    True, update_sampler=True, model=model,
+                    ret_rms=state.ret_rms))
+            ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
+                       else None)
 
             levels = jax.vmap(env.get_level)(env_states)
             solvable = (
@@ -548,7 +573,8 @@ class AdversarialRunner:
                 plr_a, self.plr_cfg, levels, st_scores, st_counts,
                 staged_solvable=solvable,
                 staged_num_edits=parent_edits + 1)
-            state = state.replace(rng=rng, agent=agent_state, plr_agent=plr_a)
+            state = state.replace(rng=rng, agent=agent_state, plr_agent=plr_a,
+                                  ret_rms=ret_rms)
             return state, a_info['rollout']
 
         return cycle
