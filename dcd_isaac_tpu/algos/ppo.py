@@ -41,6 +41,9 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     clip_value_loss: bool = True
     use_popart: bool = False
+    remat: bool = False  # extra whole-forward remat (models already
+    # remat their per-step embeds in `sequence`)
+    # (trades FLOPs for HBM so num_mini_batch=1 configs fit at large N)
 
 
 @struct.dataclass
@@ -79,10 +82,13 @@ def make_ppo_update(
     def loss_fn(params, ts_popart, obs, init_carry, masks_pre, actions,
                 old_log_probs, old_values, returns, advs):
         if recurrent:
-            out, values, _ = model.apply(
-                params, obs, init_carry, masks_pre, method='sequence')
+            fwd = lambda p, o, c, m: model.apply(p, o, c, m,
+                                                 method='sequence')
         else:
-            out, values, _ = model.apply(params, obs, init_carry, masks_pre)
+            fwd = lambda p, o, c, m: model.apply(p, o, c, m)
+        if cfg.remat:
+            fwd = jax.checkpoint(fwd)
+        out, values, _ = fwd(params, obs, init_carry, masks_pre)
 
         new_log_probs, entropy = model.log_prob_entropy(out, actions)
 

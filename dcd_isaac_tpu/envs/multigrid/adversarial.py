@@ -367,6 +367,30 @@ class AdversarialMultiGrid:
         state = compute_metrics(state, p)
         return reset_agent(state, p)
 
+    def reset_alp_gmm(self, task: jnp.ndarray, rng: jax.Array):
+        """ALP-GMM task = teacher action sequence (floats → action ids)
+        replayed through step_adversary (runner _init_alp_gmm bounds:
+        {'actions': [0, (size-2)^2, n_steps]})."""
+        p = self.params
+        rng, r0 = jax.random.split(rng)
+        state, _ = self.reset(r0)
+        n = task.shape[0]
+
+        def body(carry, a):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            a = jnp.clip(jnp.round(a), 0, p.adversary_action_dim - 1)
+            state, _, _ = self.step_adversary(state, a.astype(jnp.int32), sub)
+            return (state, rng), None
+
+        (state, rng), _ = jax.lax.scan(body, (state, rng), task)
+        # finish any remaining design steps with no-op walls at loc 0
+        extra = p.adversary_max_steps - n
+        for _ in range(max(extra, 0)):
+            rng, sub = jax.random.split(rng)
+            state, _, _ = self.step_adversary(state, jnp.int32(0), sub)
+        return reset_agent(state, p)
+
     # -- student -----------------------------------------------------------
     def reset_agent(self, state: MultiGridState) -> Tuple[MultiGridState, dict]:
         return reset_agent(state, self.params)

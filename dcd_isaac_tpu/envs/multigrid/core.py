@@ -44,6 +44,7 @@ class MultiGridParams:
     goal_noise: float = 0.0
     random_z_dim: int = 50
     editor_actions: str = 'walls_none_agent_goal'
+    full_obs: bool = False  # add 'full_obs' (MultiGridFullyObsWrapper)
 
     @property
     def width(self) -> int:
@@ -281,7 +282,10 @@ def gen_obs(state: MultiGridState, params: MultiGridParams) -> dict:
     types = jnp.where(vis, window, jnp.uint8(UNSEEN))
     colors = jnp.where(vis, TYPE_COLOR[window.astype(jnp.int32)], jnp.uint8(0))
     img = jnp.stack([types, colors, jnp.zeros_like(types)], axis=-1)
-    return {'image': img, 'direction': d}
+    obs = {'image': img, 'direction': d}
+    if params.full_obs:
+        obs['full_obs'] = encode_grid(state)
+    return obs
 
 
 # ---------------------------------------------------------------------------

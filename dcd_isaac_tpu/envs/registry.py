@@ -52,10 +52,11 @@ _MG = {
 }
 
 
-def make_env(env_name: str):
+def make_env(env_name: str, full_obs: bool = False):
     """env id → functional env object."""
     if env_name in _MG:
-        return AdversarialMultiGrid(MultiGridParams(**_MG[env_name]))
+        return AdversarialMultiGrid(
+            MultiGridParams(**_MG[env_name], full_obs=full_obs))
     if env_name.startswith('BipedalWalker'):
         from .walker import make_walker_env
         return make_walker_env(env_name)

@@ -160,6 +160,17 @@ class AdversarialWalker:
         state = self._fresh_state(params, seed)
         return state, gen_walker_obs(state)
 
+    def reset_alp_gmm(self, task: jnp.ndarray, rng: jax.Array):
+        """ALP-GMM task vector (each dim in [0, 2]) → level params
+        (reference adversarial.py:346-370: a-1 mapped through the ranges)."""
+        a = task[:8] - 1.0
+        ranges = self._ranges
+        params = (a + 1.0) / 2.0 * (ranges[:, 1] - ranges[:, 0]) + ranges[:, 0]
+        seed = jax.random.randint(
+            rng, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        state = self._fresh_state(params, seed)
+        return state, gen_walker_obs(state)
+
     def reset_to_level(self, level: jnp.ndarray):
         params = level[:8]
         seed = jax.lax.bitcast_convert_type(level[8], jnp.uint32)

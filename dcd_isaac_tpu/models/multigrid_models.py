@@ -94,9 +94,32 @@ class MultigridNetwork(nn.Module):
         return logits, value, carry
 
     def sequence(self, obs: dict, carry, masks: jnp.ndarray):
-        """(T, B, ...) BPTT forward → (logits_T, values_T, final_carry)."""
-        x = self._embed(obs)  # feedforward part folds T into the batch
-        carry, core = self.core.sequence(carry, x, masks)
+        """(T, B, ...) BPTT forward → (logits_T, values_T, final_carry).
+
+        The conv embed runs inside the time scan with per-step
+        rematerialization: the flattened conv activation (e.g. 13·13·128 =
+        21k dims for the teacher) would otherwise dominate HBM at
+        (T·B, embed) — rematting it bounds residuals to the obs bytes plus
+        the (T, B, hidden) carries.
+        """
+        if not self.is_recurrent:
+            x = self._embed(obs)
+            carry, core = self.core.sequence(carry, x, masks)
+            logits, value = self._heads(core)
+            return logits, value, carry
+
+        def body(mdl, carry, inp):
+            o, m = inp
+            x = mdl._embed(o)
+            carry, h = mdl.core(carry, x, m)
+            return carry, h
+
+        scan = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast='params',
+            split_rngs={'params': False},
+            in_axes=0, out_axes=0)
+        carry, core = scan(self, carry, (obs, masks))
         logits, value = self._heads(core)
         return logits, value, carry
 
@@ -110,3 +133,80 @@ class MultigridNetwork(nn.Module):
         from .distributions import categorical_entropy, categorical_log_prob
         return (categorical_log_prob(logits, actions),
                 categorical_entropy(logits).mean())
+
+
+class MultigridGlobalCriticNetwork(MultigridNetwork):
+    """Student with a full-grid critic trunk (reference
+    multigrid_global_critic_models.py:15-223).
+
+    ``use_global_policy=False``: policy sees the partial view (as
+    MultigridNetwork), while the critic additionally receives a conv embed of
+    the full-grid encoding ('full_obs', MultiGridFullyObsWrapper).
+    ``use_global_policy=True``: both heads run on the global embed.
+    """
+    use_global_policy: bool = False
+
+    def setup(self):
+        super().setup()
+        self.global_conv1 = nn.Conv(
+            8, (2, 2), strides=(2, 2), padding='VALID',
+            kernel_init=xavier_uniform(), bias_init=zeros,
+            name='global_conv1')
+        self.global_conv2 = nn.Conv(
+            16, (3, 3), strides=(1, 1), padding='VALID',
+            kernel_init=xavier_uniform(), bias_init=zeros,
+            name='global_conv2')
+
+    def _global_embed(self, obs):
+        g = obs['full_obs'].astype(jnp.float32) / 10.0
+        x = self.global_conv2(self.global_conv1(g))
+        return x.reshape(*x.shape[:-3], -1)
+
+    def _embed(self, obs):
+        if self.use_global_policy:
+            scalar = obs.get('direction')
+            parts = [nn.relu(self._global_embed(obs))]
+            if scalar is not None and self.scalar_dim:
+                onehot = jax.nn.one_hot(
+                    scalar.astype(jnp.int32), self.scalar_dim)
+                parts.append(self.scalar_embed(onehot))
+            return jnp.concatenate(parts, axis=-1)
+        return super()._embed(obs)
+
+    def _heads_with_obs(self, core, obs):
+        logits = self.actor_head(self.actor_trunk(core))
+        if self.use_global_policy:
+            critic_in = core
+        else:
+            critic_in = jnp.concatenate(
+                [self._global_embed(obs), core], axis=-1)
+        value = self.critic_head(self.critic_trunk(critic_in)).squeeze(-1)
+        return logits, value
+
+    def __call__(self, obs, carry, mask):
+        x = self._embed(obs)
+        carry, core = self.core(carry, x, mask)
+        logits, value = self._heads_with_obs(core, obs)
+        return logits, value, carry
+
+    def sequence(self, obs, carry, masks):
+        if not self.is_recurrent:
+            x = self._embed(obs)
+            carry, core = self.core.sequence(carry, x, masks)
+            logits, value = self._heads_with_obs(core, obs)
+            return logits, value, carry
+
+        def body(mdl, carry, inp):
+            o, m = inp
+            x = mdl._embed(o)
+            carry, h = mdl.core(carry, x, m)
+            return carry, h
+
+        scan = nn.scan(
+            nn.remat(body, prevent_cse=False),
+            variable_broadcast='params',
+            split_rngs={'params': False},
+            in_axes=0, out_axes=0)
+        carry, core = scan(self, carry, (obs, masks))
+        logits, value = self._heads_with_obs(core, obs)
+        return logits, value, carry

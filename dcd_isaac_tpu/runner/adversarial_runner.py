@@ -83,6 +83,7 @@ class AdversarialRunner:
         N = args.num_processes
 
         self.is_dr = args.ued_algo == 'domain_randomization'
+        self.is_alp_gmm = args.ued_algo == 'alp_gmm'
         self.is_training_env = args.ued_algo in (
             'paired', 'flexible_paired', 'minimax')
         self.is_paired = args.ued_algo in ('paired', 'flexible_paired')
@@ -158,6 +159,27 @@ class AdversarialRunner:
             make_student_rollout(env, models['adversary_agent'], ro_cfg)
             if self.is_paired else None)
 
+        # ALP-GMM teacher (host-side; reference adversarial_runner.py:152-173)
+        self.alp_gmm_teacher = None
+        if self.is_alp_gmm:
+            from ..teachers.teacher_controller import TeacherController
+            if args.env_name.startswith('MultiGrid'):
+                dim = env.params.adversary_action_dim
+                bounds = {'actions': [0, dim, min(
+                    env.params.adversary_max_steps, 26)]}
+                reward_bounds = None
+            elif args.env_name.startswith('Bipedal'):
+                n = 5 if 'POET' in args.env_name else 8
+                bounds = {'actions': [0, 2, n]}
+                reward_bounds = (-200, 350)
+            else:
+                raise ValueError(
+                    f'ALP-GMM unsupported for {args.env_name}')
+            self.alp_gmm_teacher = TeacherController(
+                teacher='ALP-GMM', nb_test_episodes=0,
+                param_env_bounds=bounds, reward_bounds=reward_bounds,
+                seed=args.seed, teacher_params={})
+
         # host-side bookkeeping (reference runner.reset())
         self.num_updates = 0
         self.total_num_edits = 0
@@ -222,6 +244,20 @@ class AdversarialRunner:
                 plr_antagonist = plr_lib.init_plr(
                     self.plr_cfg, env.level_shape, env.level_dtype)
 
+        # Pre-populate a zero teacher rollout so the runner-state pytree
+        # structure is stable from cycle 1 (None→Rollout would force a
+        # second trace/compile of every cycle program).
+        teacher_rollout = teacher_next_value = None
+        if self.is_training_env:
+            shapes = jax.eval_shape(
+                lambda: self.teacher_rollout_fn(
+                    adversary_env.params,
+                    *jax.vmap(env.reset)(jax.random.split(r[6], N)),
+                    r[7]))
+            teacher_rollout = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes[1])
+            teacher_next_value = jnp.zeros((N,))
+
         return RunnerState(
             rng=r[5],
             agent=agent,
@@ -229,8 +265,8 @@ class AdversarialRunner:
             adversary_env=adversary_env,
             plr_agent=plr_agent,
             plr_antagonist=plr_antagonist,
-            teacher_rollout=None,
-            teacher_next_value=None,
+            teacher_rollout=teacher_rollout,
+            teacher_next_value=teacher_next_value,
             env_return_rms=(RMS.create() if args.adv_normalize_returns
                             else None),
             ret_rms=((jnp.zeros((N,)), jnp.float32(0.0), jnp.float32(1.0),
@@ -339,6 +375,8 @@ class AdversarialRunner:
             'level_seeds_final': final.level_seeds,
             'ret_rms': (final.ret_accum, final.rms_mean, final.rms_var,
                         final.rms_count),
+            'actions': steps.actions,
+            'dones': steps.dones,
         }
         return new_agent_state, plr_buf, staged_scores, staged_counts, info
 
@@ -461,6 +499,38 @@ class AdversarialRunner:
 
             stats = self._device_stats(
                 state, env_states, a_info, b_info, t_stats, env_ret)
+            if self.args.log_action_complexity:
+                stats['_actions'] = a_info['actions']
+                stats['_dones'] = a_info['dones']
+            return state, stats
+
+        return cycle
+
+    def _build_cycle_alp_gmm(self):
+        args = self.args
+        N = args.num_processes
+        env = self.env
+
+        def cycle(state: RunnerState, tasks):
+            rng, r_env, r_stu = jax.random.split(state.rng, 3)
+            env_states, _ = jax.vmap(env.reset_alp_gmm)(
+                tasks, jax.random.split(r_env, N))
+            seeds = jnp.full((N,), -1, jnp.int32)
+            agent_state, _, _, _, a_info = self._student_phase(
+                state.agent, self._ro_same, self.update_agent, env_states,
+                seeds, None, r_stu, False, update_sampler=False,
+                model=self.models['agent'], ret_rms=state.ret_rms)
+            ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
+                       else None)
+            env_ret, rms = self._env_return(
+                state, a_info['rollout'], a_info['rollout'])
+            state = state.replace(
+                rng=rng, agent=agent_state, env_return_rms=rms,
+                ret_rms=ret_rms)
+            stats = self._device_stats(
+                state, env_states, a_info, None, None, env_ret)
+            stats['_alp_mean_return'] = a_info['rollout']['mean_return']
+            stats['_alp_epi_count'] = a_info['rollout']['episode_count']
             return state, stats
 
         return cycle
@@ -655,7 +725,23 @@ class AdversarialRunner:
         if student_grad:
             self.student_grad_updates += 1
 
-        if level_replay:
+        if self.is_alp_gmm:
+            tasks = jnp.asarray(self.alp_gmm_teacher.sample_batch(
+                args.num_processes))
+            cycle = self._jit('alp', self._build_cycle_alp_gmm)
+            self.state, stats = cycle(self.state, tasks)
+            seeds = easy_metric = None
+            # Record mean episode return per env slot to the teacher
+            # (coarser than the reference's per-episode recording —
+            # documented deviation; same reward attribution per task).
+            mr = np.asarray(stats.pop('_alp_mean_return'))
+            ec = np.asarray(stats.pop('_alp_epi_count'))
+            for i in range(args.num_processes):
+                if ec[i] > 0:
+                    self.alp_gmm_teacher.record_train_episode(
+                        float(mr[i]), index=i)
+            self.total_seeds_collected += args.num_processes
+        elif level_replay:
             cycle = self._jit('replay', self._build_cycle_replay)
             self.state, stats, seeds, easy_metric = cycle(self.state)
         else:
@@ -682,6 +768,15 @@ class AdversarialRunner:
         self.num_updates += 1
 
         # host-side stat assembly
+        if '_actions' in stats:
+            from ..native.lz import action_complexity
+            acts = np.asarray(stats.pop('_actions'))
+            dns = np.asarray(stats.pop('_dones'))
+            if acts.ndim == 2:  # discrete trajectories only
+                stats['agent_action_complexity'] = action_complexity(
+                    acts, dns)
+            else:
+                stats.pop('agent_action_complexity', None)
         host = {k: float(np.asarray(v)) for k, v in stats.items()}
         n_epi = host.pop('episodes', 0)
         ret_sum = host.pop('returns_sum', 0.0)

@@ -26,7 +26,9 @@ from .utils.make_agent import make_all_models
 def main(argv=None):
     args = parser.parse_args(argv)
 
-    env = make_env(args.env_name)
+    env = make_env(
+        args.env_name,
+        full_obs=bool(args.use_global_critic or args.use_global_policy))
     models = make_all_models(args, env)
     rng = jax.random.PRNGKey(args.seed)
 

@@ -7,7 +7,9 @@ Dispatches on env family and agent role ('agent' | 'adversary_agent' |
 from __future__ import annotations
 
 from ..envs.registry import env_family
-from ..models.multigrid_models import MultigridNetwork
+from ..models.multigrid_models import (
+    MultigridGlobalCriticNetwork, MultigridNetwork,
+)
 
 
 def make_model(args, env, agent_type: str):
@@ -25,12 +27,16 @@ def make_model(args, env, agent_type: str):
                 recurrent_arch=recurrent,
                 recurrent_hidden_size=args.recurrent_hidden_size)
         recurrent = args.recurrent_arch if args.recurrent_agent else None
-        return MultigridNetwork(
+        kwargs = dict(
             num_actions=env.num_actions,
             scalar_fc=5,
             scalar_dim=4,
             recurrent_arch=recurrent,
             recurrent_hidden_size=args.recurrent_hidden_size)
+        if args.use_global_critic or args.use_global_policy:
+            return MultigridGlobalCriticNetwork(
+                use_global_policy=args.use_global_policy, **kwargs)
+        return MultigridNetwork(**kwargs)
     if family == 'walker':
         from ..models.walker_models import make_walker_model
         return make_walker_model(args, env, agent_type)
