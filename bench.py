@@ -34,7 +34,7 @@ def main():
     if args_cli.quick:
         N, T, cycles, env_name = 64, 64, 3, 'MultiGrid-MiniAdversarial-v0'
     else:
-        N, T, cycles, env_name = 1024, 256, 5, 'MultiGrid-Adversarial-v0'
+        N, T, cycles, env_name = 4096, 256, 3, 'MultiGrid-Adversarial-v0'
     N = args_cli.num_processes or N
     T = args_cli.num_steps or T
     cycles = args_cli.cycles or cycles
@@ -54,7 +54,8 @@ def main():
     models = make_all_models(args, env)
     runner = AdversarialRunner(args, env, models, jax.random.PRNGKey(0))
 
-    # warmup / compile
+    # warmup / compile (two cycles: the runner-state pytree must be warm)
+    runner.run()
     runner.run()
     jax.block_until_ready(runner.state.agent.params)
 

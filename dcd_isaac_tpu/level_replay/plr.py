@@ -58,6 +58,8 @@ class PLRConfig:
     gamma: float = 0.999
     use_dense_rewards: bool = False
     reject_unsolvable: bool = False
+    tscl_window_size: int = 10
+    alt_gamma: float = 0.99   # for alt_advantage_abs
 
 
 @struct.dataclass
@@ -71,6 +73,9 @@ class PLRBuffer:
     grounded_values: jnp.ndarray  # (S,)
     num_edits: jnp.ndarray       # (S,) int32 ACCEL lineage depth
     sample_count: jnp.ndarray    # () f32 running sample counter
+    tscl_returns: jnp.ndarray    # (S, W) return window (tscl_window)
+    tscl_stamps: jnp.ndarray     # (S, W) sample-count stamps
+    tscl_n: jnp.ndarray          # (S,) window fill counts
 
     @property
     def capacity(self) -> int:
@@ -90,6 +95,9 @@ def init_plr(cfg: PLRConfig, level_shape: Tuple[int, ...],
         grounded_values=jnp.full((S,), NEG_INF),
         num_edits=jnp.zeros((S,), jnp.int32),
         sample_count=jnp.float32(0.0),
+        tscl_returns=jnp.zeros((S, cfg.tscl_window_size)),
+        tscl_stamps=jnp.zeros((S, cfg.tscl_window_size)),
+        tscl_n=jnp.zeros((S,), jnp.int32),
     )
 
 
@@ -232,6 +240,12 @@ def _step_scores(cfg: PLRConfig, rollout, returns, values,
         else:
             w = ones
         return s, s, w
+    if strat == 'alt_advantage_abs':
+        # caller passes alt-gamma returns via the `returns` slot
+        s = jnp.abs(returns - values)
+        return s, s, ones
+    if strat in ('tscl_window', 'random', 'off', 'sequential'):
+        return ones, ones, ones
     if strat == 'one_step_td_error':
         v_next = jnp.concatenate([values[1:], values[-1:]], 0)
         not_last = 1.0 - rollout.dones.astype(jnp.float32)
@@ -368,6 +382,47 @@ def update_with_rollout(
             seen_this_rollout, 0.0, buf.staleness)
     else:
         staleness = buf.staleness
+
+    if cfg.strategy == 'tscl_window':
+        # TSCL: push this rollout's mean episode return per seed into the
+        # per-seed window, score = |linear-regression slope| over the window
+        # (level_sampler.py:452-471).  One push per (seed, rollout) — coarser
+        # than the reference's per-episode pushes; documented deviation.
+        W = cfg.tscl_window_size
+        seed_flat = jnp.where(is_working, ep_seed, S).reshape(-1)
+        r_sum = jax.ops.segment_sum(
+            jnp.where(is_working.reshape(-1), ep_ret.reshape(-1), 0.0),
+            seed_flat, S + 1)[:S]
+        r_cnt = jax.ops.segment_sum(
+            is_working.reshape(-1).astype(jnp.float32), seed_flat, S + 1)[:S]
+        has = r_cnt > 0
+        r_mean = r_sum / jnp.clip(r_cnt, 1.0, None)
+        slot = buf.tscl_n % W
+        t_returns = jnp.where(
+            has[:, None],
+            buf.tscl_returns.at[jnp.arange(S), slot].set(r_mean),
+            buf.tscl_returns)
+        t_stamps = jnp.where(
+            has[:, None],
+            buf.tscl_stamps.at[jnp.arange(S), slot].set(buf.sample_count),
+            buf.tscl_stamps)
+        t_n = buf.tscl_n + has.astype(jnp.int32)
+        nw = jnp.clip(t_n, 0, W).astype(jnp.float32)[:, None]
+        m = (jnp.arange(W)[None, :] <
+             jnp.clip(t_n, 0, W)[:, None])
+        mx = jnp.where(m, t_stamps, 0.0)
+        my = jnp.where(m, t_returns, 0.0)
+        n_ = jnp.clip(nw.squeeze(-1), 1.0, None)
+        x_mean = mx.sum(-1) / n_
+        y_mean = my.sum(-1) / n_
+        cov = (jnp.where(m, (t_stamps - x_mean[:, None])
+                         * (t_returns - y_mean[:, None]), 0.0).sum(-1))
+        var = jnp.where(m, (t_stamps - x_mean[:, None]) ** 2, 0.0).sum(-1)
+        slope = jnp.abs(cov / jnp.clip(var, 1e-8, None))
+        new_scores = jnp.where(has & (t_n > 1), slope, buf.scores)
+        new_unseen = jnp.where(has, 0.0, new_unseen)
+        buf = buf.replace(
+            tscl_returns=t_returns, tscl_stamps=t_stamps, tscl_n=t_n)
 
     buf = buf.replace(
         scores=new_scores, unseen=new_unseen, grounded_values=new_grounded,

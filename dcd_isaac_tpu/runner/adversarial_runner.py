@@ -355,8 +355,14 @@ class AdversarialRunner:
 
         staged_scores = staged_counts = None
         if plr_buf is not None and update_sampler:
+            plr_returns = returns
+            if self.plr_cfg.strategy == 'alt_advantage_abs':
+                plr_returns = compute_gae(
+                    gae_rollout, next_value_d, self.plr_cfg.alt_gamma,
+                    args.gae_lambda,
+                    use_proper_time_limits=args.handle_timelimits)
             plr_buf, staged_scores, staged_counts = plr_lib.update_with_rollout(
-                plr_buf, self.plr_cfg, steps, returns, values_d)
+                plr_buf, self.plr_cfg, steps, plr_returns, values_d)
 
         bvl = batched_value_loss(
             returns, values_d,

@@ -94,6 +94,18 @@ def main(argv=None):
                 runner.state.plr_agent, runner.plr_cfg))
             filewriter.log_level_weights(w)
 
+        if args.screenshot_interval > 0 and \
+                j % args.screenshot_interval == 0 and runner.use_plr:
+            import jax.numpy as _jnp
+            from .utils.screenshots import save_level_screenshots
+            buf = runner.state.plr_agent
+            n_top = min(args.screenshot_batch_size * 4, 8)
+            top = np.argsort(-np.asarray(buf.scores))[:n_top]
+            save_level_screenshots(
+                args.env_name, np.asarray(buf.levels[_jnp.asarray(top)]),
+                os.path.join(filewriter.basepath, 'screenshots'),
+                prefix=f'update{j}')
+
         checkpoint_basis = (
             runner.num_updates if args.checkpoint_basis == 'num_updates'
             else runner.student_grad_updates)
