@@ -85,7 +85,9 @@ def make_student_rollout(
         action, log_prob = model.sample_action(rng, out)
         if cfg.random_agent:
             n = value.shape[0]
-            if is_discrete:
+            if hasattr(model, 'random_action'):
+                action = model.random_action(rng, out)
+            elif is_discrete:
                 action = jax.random.randint(rng, (n,), 0, num_actions)
                 log_prob = model.log_prob_entropy(out, action)[0]
             else:
@@ -283,7 +285,9 @@ def make_adversary_rollout(env, model, adv_steps: int,
                 params, obs, rnn_carry, mask)
             action, log_prob = model.sample_action(r_act, out)
             if random_agent:
-                if is_discrete:
+                if hasattr(model, 'random_action'):
+                    action = model.random_action(r_act, out)
+                elif is_discrete:
                     action = jax.random.randint(r_act, (n,), 0, num_actions)
                     log_prob = model.log_prob_entropy(out, action)[0]
                 else:

@@ -41,6 +41,12 @@ class CarRacingConfig:
     timelimit_bonus: bool = True
     n_control_points: int = 12
     playfield: float = PLAYFIELD
+    # Sparse-reward goal bins (REPAIRED CarRacing; reference
+    # car_racing_bezier.py:107-129, :683-691).  When active, reward_shaping
+    # is forced off upstream (util/__init__.py:164).
+    sparse_rewards: bool = False
+    num_goal_bins: int = 24
+    clip_reward: float | None = None
 
     @property
     def obs_hw(self):
@@ -66,12 +72,18 @@ class CarRacingState:
     hist_ptr: jnp.ndarray
     frames: jnp.ndarray         # (H, W, C*stack) float32 stacked obs
     done_latch: jnp.ndarray     # () bool
+    # sparse-reward goal state (dense mode: goal_bin = -1)
+    goal_bin: jnp.ndarray       # () int32
+    goal_reached: jnp.ndarray   # () bool
+    sparse_accum: jnp.ndarray   # () float32 hidden accumulated reward
     # level definition (encoded) + teacher design-phase scratch
     control_points: jnp.ndarray  # (27,) encoded level
     level_seed: jnp.ndarray
     adv_cps: jnp.ndarray         # (12, 2) placed control points (playfield)
     adv_n: jnp.ndarray           # () int32 number placed
     adv_step_count: jnp.ndarray  # () int32
+    adv_start_alpha: jnp.ndarray  # () float32; -1 = unset (start index 0)
+    adv_goal_bin: jnp.ndarray    # () int32; num_goal_bins until chosen
 
 
 def _preprocess(cfg: CarRacingConfig, frame_u8: jnp.ndarray) -> jnp.ndarray:
@@ -96,22 +108,47 @@ def _render_obs(cfg: CarRacingConfig, car: CarState, track: Track,
 def _visit_tiles(track: Track, visited: jnp.ndarray, car: CarState):
     """Wheel-tile sensor contacts (FrictionDetector,
     car_racing_bezier.py:64-129) → (visited, newly_visited_count,
-    wheels_on_road (4,))."""
+    new-tile mask (P,), wheels_on_road (4,))."""
     wp = wheel_positions(car)
     road, idx = on_road(track, wp)
     P = track.capacity
     hits = jnp.zeros((P,), bool).at[idx].max(road)
     new = hits & ~visited
-    return visited | new, new.sum(), road
+    return visited | new, new.sum(), new, road
+
+
+def _goal_eval(track: Track, new: jnp.ndarray, goal_bin: jnp.ndarray,
+               num_goal_bins: int):
+    """Sparse-reward goal-bin test over newly visited tiles
+    (FrictionDetector._eval_tile_index, car_racing_bezier.py:112-129).
+
+    A tile at index i maps to bin floor((track_len - i) / goal_step); the
+    goal counts as reached when a newly visited tile lands in the goal bin,
+    except within MIN_DISTANCE_TO_GO=10 tiles of the start/finish line
+    (bins 0 and num_goal_bins-1 edge rules).
+    """
+    n = track.n_points.astype(jnp.float32)
+    goal_step = n / num_goal_bins
+    idx = jnp.arange(track.capacity, dtype=jnp.float32)
+    distance = n - idx
+    tile_bin = jnp.floor(distance / jnp.maximum(goal_step, 1e-6))
+    gb = goal_bin.astype(jnp.float32)
+    force_false = (((goal_bin == 0) & (distance < 10))
+                   | ((goal_bin == num_goal_bins - 1) & (idx < 10)))
+    reach = (tile_bin == gb) & ~force_false & track.valid
+    return (new & reach).any()
 
 
 def make_carracing_core(cfg: CarRacingConfig):
     """Bundle of pure env functions closed over the static config."""
 
     def fresh_state(track: Track, control_points, level_seed,
-                    start_idx=None) -> Tuple[CarRacingState, jnp.ndarray]:
+                    start_idx=None,
+                    goal_bin=None) -> Tuple[CarRacingState, jnp.ndarray]:
         if start_idx is None:
             start_idx = jnp.int32(0)
+        if goal_bin is None:
+            goal_bin = jnp.int32(-1)
         beta0 = track.beta[start_idx]
         p0 = track.points[start_idx]
         car = init_car(beta0, p0[0], p0[1])
@@ -129,11 +166,16 @@ def make_carracing_core(cfg: CarRacingConfig):
             hist_ptr=jnp.int32(0),
             frames=jnp.zeros((H, W, cfg.obs_channels)),
             done_latch=jnp.bool_(False),
+            goal_bin=jnp.asarray(goal_bin, jnp.int32),
+            goal_reached=jnp.bool_(False),
+            sparse_accum=jnp.float32(0.0),
             control_points=control_points,
             level_seed=level_seed,
             adv_cps=jnp.zeros((12, 2)),
             adv_n=jnp.int32(0),
             adv_step_count=jnp.int32(0),
+            adv_start_alpha=jnp.float32(-1.0),
+            adv_goal_bin=jnp.int32(cfg.num_goal_bins),
         )
         # initial frame, replicated across the stack (wrapper _reset_stack)
         obs0 = _render_obs(cfg, car, track, state.t)
@@ -153,11 +195,12 @@ def make_carracing_core(cfg: CarRacingConfig):
 
         def inner(carry, _):
             (car, visited, count, reward_total, prev_reward, t, steps,
-             hist, ptr, done) = carry
+             hist, ptr, done, goal_reached, sparse_accum) = carry
 
             wp_road = on_road(state.track, wheel_positions(car))[0]
             car2 = car_step(car, steer, gas, brake, wp_road)
-            visited2, n_new, _ = _visit_tiles(state.track, visited, car2)
+            visited2, n_new, new_tiles, _ = _visit_tiles(
+                state.track, visited, car2)
             t2 = t + 1.0 / FPS
             steps2 = steps + 1
 
@@ -172,6 +215,25 @@ def make_carracing_core(cfg: CarRacingConfig):
             off_field = (jnp.abs(car2.pos) > cfg.playfield).any()
             die = all_visited | off_field
             step_reward = jnp.where(off_field, -100.0, step_reward)
+
+            # Sparse-reward reveal (car_racing_bezier.py:683-691): rewards
+            # accumulate hidden; reaching the goal bin reveals the sum and
+            # ends the episode.
+            if cfg.sparse_rewards:
+                reached_now = _goal_eval(
+                    state.track, new_tiles, state.goal_bin,
+                    cfg.num_goal_bins)
+                goal_reached2 = goal_reached | reached_now
+                sparse_accum2 = sparse_accum + step_reward
+                step_reward = jnp.where(goal_reached2, sparse_accum2, 0.0)
+                sparse_accum2 = jnp.where(goal_reached2, 0.0, sparse_accum2)
+                die = die | goal_reached2
+            else:
+                goal_reached2, sparse_accum2 = goal_reached, sparse_accum
+
+            if cfg.clip_reward is not None:
+                step_reward = jnp.clip(
+                    step_reward, -cfg.clip_reward, cfg.clip_reward)
 
             # reward shaping (wrapper): +100 on die (timelimit bonus),
             # -0.05 when off road (≈ green-view penalty)
@@ -203,19 +265,21 @@ def make_carracing_core(cfg: CarRacingConfig):
             prev2 = jnp.where(done, prev_reward, reward_total2)
             t2 = jnp.where(done, t, t2)
             steps2 = jnp.where(done, steps, steps2)
+            goal_reached2 = jnp.where(done, goal_reached, goal_reached2)
+            sparse_accum2 = jnp.where(done, sparse_accum, sparse_accum2)
 
             return ((car2, visited2, count + jnp.where(done, 0, n_new),
                      reward_total2, prev2, t2, steps2, hist2, ptr2,
-                     new_done), shaped)
+                     new_done, goal_reached2, sparse_accum2), shaped)
 
         carry0 = (state.car, state.visited, state.tile_visited_count,
                   state.reward_total, state.prev_reward, state.t,
                   state.inner_steps, state.reward_history, state.hist_ptr,
-                  state.done_latch)
+                  state.done_latch, state.goal_reached, state.sparse_accum)
         carry, shaped_rewards = jax.lax.scan(
             inner, carry0, None, length=cfg.num_action_repeat)
         (car, visited, count, reward_total, prev_reward, t, steps, hist,
-         ptr, done) = carry
+         ptr, done, goal_reached, sparse_accum) = carry
 
         total_reward = shaped_rewards.sum()
 
@@ -234,6 +298,7 @@ def make_carracing_core(cfg: CarRacingConfig):
             reward_total=reward_total, prev_reward=prev_reward, t=t,
             inner_steps=steps, reward_history=hist, hist_ptr=ptr,
             frames=frames, done_latch=done,
+            goal_reached=goal_reached, sparse_accum=sparse_accum,
         )
         info = {'truncated': truncated}
         return state, frames, total_reward, done_out, info

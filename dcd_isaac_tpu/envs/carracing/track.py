@@ -37,6 +37,7 @@ class Track:
     border: jnp.ndarray    # (P,) bool — red/white border on this tile
     valid: jnp.ndarray     # (P,) bool — active points (padding mask)
     n_points: jnp.ndarray  # () int32
+    offset: jnp.ndarray    # (2,) world→centered offset (bbox center)
 
     @property
     def capacity(self) -> int:
@@ -90,7 +91,7 @@ def build_track(curve: jnp.ndarray, valid=None) -> Track:
     border = border & valid
 
     return Track(points=points, beta=beta, border=border, valid=valid,
-                 n_points=n.astype(jnp.int32))
+                 n_points=n.astype(jnp.int32), offset=offset)
 
 
 def nearest_tile(track: Track, q: jnp.ndarray):

@@ -52,8 +52,13 @@ _MG = {
 }
 
 
-def make_env(env_name: str, full_obs: bool = False):
-    """env id → functional env object."""
+def make_env(env_name: str, full_obs: bool = False, args=None):
+    """env id → functional env object.
+
+    ``args`` (optional parsed CLI namespace) supplies the per-family env
+    kwargs the reference passes through _make_env (util/__init__.py:140-181),
+    e.g. CarRacing sparse-reward / frame-stack settings.
+    """
     if env_name in _MG:
         return AdversarialMultiGrid(
             MultiGridParams(**_MG[env_name], full_obs=full_obs))
@@ -62,7 +67,7 @@ def make_env(env_name: str, full_obs: bool = False):
         return make_walker_env(env_name)
     if env_name.startswith('CarRacing'):
         from .carracing import make_carracing_env
-        return make_carracing_env(env_name)
+        return make_carracing_env(env_name, args=args)
     raise ValueError(f'Unknown env {env_name}')
 
 

@@ -68,7 +68,7 @@ def load_agent(base_path: str, xpid: str, model_tar: str):
             argv.extend([f'--{k}', str(v)])
     args = train_parser.parse_args(argv)
 
-    env = make_env(args.env_name)
+    env = make_env(args.env_name, args=args)
     models = make_all_models(args, env)
     runner = AdversarialRunner(args, env, models, jax.random.PRNGKey(0))
     ckpt = os.path.join(xdir, f'{model_tar}.tar')

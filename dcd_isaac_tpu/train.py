@@ -28,7 +28,8 @@ def main(argv=None):
 
     env = make_env(
         args.env_name,
-        full_obs=bool(args.use_global_critic or args.use_global_policy))
+        full_obs=bool(args.use_global_critic or args.use_global_policy),
+        args=args)
     models = make_all_models(args, env)
     rng = jax.random.PRNGKey(args.seed)
 

@@ -118,7 +118,7 @@ class TestEnv:
     def test_level_roundtrip(self):
         state, _ = self.reset(jax.random.PRNGKey(3))
         lvl = ENV.get_level(state)
-        assert lvl.shape == (27,)
+        assert lvl.shape == (28,)
         state2, _ = jax.jit(ENV.reset_to_level)(lvl)
         np.testing.assert_allclose(
             np.asarray(state.track.points), np.asarray(state2.track.points),
@@ -177,6 +177,129 @@ class TestTrackGeometry:
                         - patch[..., 1].astype(int)) < 12)
                 & (patch[..., 0] > 80) & (patch[..., 0] < 140))
         assert grey.mean() > 0.5, patch[..., 0]
+
+
+class TestSparseRewards:
+    """REPAIRED CarRacing: goal bins + sparse reveal + teacher variants
+    (reference car_racing_bezier.py:107-129,683-691;
+    car_racing_adversarial.py:275-322; car_racing_models.py:168-424)."""
+
+    def _make(self, **kw):
+        from dcd_isaac_tpu.envs.carracing import (
+            CarRacingConfig, CarRacingUEDParams)
+        cfg = CarRacingConfig(
+            sparse_rewards=True, num_goal_bins=8, reward_shaping=False,
+            track_capacity=120, max_inner_steps=64, num_action_repeat=4)
+        return AdversarialCarRacing(CarRacingUEDParams(cfg=cfg, **kw))
+
+    def test_goal_eval_bins(self):
+        from dcd_isaac_tpu.envs.carracing.env import _goal_eval
+        env = self._make()
+        state, _ = jax.jit(env.reset_random)(jax.random.PRNGKey(0))
+        track = state.track
+        n = int(track.n_points)
+        # a tile in the middle of bin 3: distance d with floor(d/step)==3
+        step = n / 8
+        idx = n - int(3 * step + step / 2)
+        new = jnp.zeros((track.capacity,), bool).at[idx].set(True)
+        assert bool(_goal_eval(track, new, jnp.int32(3), 8))
+        assert not bool(_goal_eval(track, new, jnp.int32(4), 8))
+        # edge rule: last bin within 10 tiles of index 0 never triggers
+        new0 = jnp.zeros((track.capacity,), bool).at[2].set(True)
+        assert not bool(_goal_eval(track, new0, jnp.int32(7), 8))
+
+    def test_sparse_reveal_accumulates(self):
+        env = self._make()
+        state, _ = jax.jit(env.reset_random)(jax.random.PRNGKey(1))
+        step = jax.jit(env.step)
+        a = jnp.array([0.0, 1.0, 0.0])
+        revealed = []
+        for _ in range(8):
+            state, o, r, d, info = step(state, a)
+            revealed.append(float(r))
+        # hidden until goal: every reward is 0 unless goal_reached fired
+        if not bool(state.goal_reached):
+            assert all(x == 0.0 for x in revealed)
+            assert float(state.sparse_accum) != 0.0
+
+    def test_goal_reached_reveals_and_ends(self):
+        env = self._make()
+        state, _ = jax.jit(env.reset_random)(jax.random.PRNGKey(2))
+        # force goal bin 1 (tiles just behind the start line going forward)
+        state = state.replace(goal_bin=jnp.int32(1))
+        step = jax.jit(env.step)
+        a = jnp.array([0.0, 1.0, 0.0])
+        done, total = False, 0.0
+        for _ in range(16):
+            state, o, r, d, info = step(state, a)
+            total += float(r)
+            if bool(state.goal_reached):
+                done = bool(d)
+                break
+        if bool(state.goal_reached):
+            assert done
+            assert total != 0.0  # the accumulated sum was revealed
+
+    def test_teacher_goal_and_start_steps(self):
+        env = self._make(use_skip=True, choose_start_pos=True)
+        assert env.adversary_rollout_steps == 14
+        assert env.adversary_num_actions == 4
+        rng = jax.random.PRNGKey(3)
+        state, obs = env.reset(rng)
+        assert int(obs['goal_bin']) == 8
+        sa = jax.jit(env.step_adversary)
+        for t in range(env.adversary_rollout_steps):
+            a = jnp.array([0.3 + 0.04 * t, 0.6, 0.0, 5.0])
+            rng, r = jax.random.split(rng)
+            state, obs, done = sa(state, a, r)
+        assert bool(done)
+        assert int(state.adv_goal_bin) == 5
+        assert float(state.adv_start_alpha) >= 0
+        # level round-trips goal bin + start alpha
+        lvl = env.get_level(state)
+        s2, _ = jax.jit(env.reset_to_level)(lvl)
+        assert int(s2.goal_bin) == 5
+        # start position honored: not necessarily index 0
+        assert s2.car.pos.shape == (2,)
+
+    def test_categorical_teacher_masks_and_logprobs(self):
+        from dcd_isaac_tpu.models.car_racing_models import (
+            CarRacingAdversaryNetwork)
+        env = self._make(use_skip=True)
+        model = CarRacingAdversaryNetwork(
+            time_step_dim=env.adversary_rollout_steps + 1,
+            use_categorical=True, use_skip=True, use_goal=True,
+            num_goal_bins=8)
+        rng = jax.random.PRNGKey(0)
+        state, obs = env.reset(rng)
+        obs_b = jax.tree.map(lambda x: x[None], obs)
+        params = model.init(rng, obs_b, (), jnp.ones((1,)))
+        out, value, _ = model.apply(params, obs_b, (), jnp.ones((1,)))
+        # empty sketch, 0 placed: skip (index 0) must be masked
+        assert float(out['logits'][0, 0]) < -1e30
+        action, lp = model.sample_action(rng, out)
+        assert action.shape == (1, 4)
+        lp2, ent = model.log_prob_entropy(out, action)
+        assert jnp.allclose(lp, lp2, atol=1e-5)
+        # sampled cell is one of the 100 non-skip actions
+        assert 0.0 <= float(action[0, 0]) < 1.0
+
+    def test_random_action_modes(self):
+        from dcd_isaac_tpu.models.car_racing_models import (
+            CarRacingAdversaryNetwork)
+        env = self._make()
+        for cat in (False, True):
+            model = CarRacingAdversaryNetwork(
+                time_step_dim=env.adversary_rollout_steps + 1,
+                use_categorical=cat, use_goal=True, num_goal_bins=8)
+            rng = jax.random.PRNGKey(1)
+            state, obs = env.reset(rng)
+            obs_b = jax.tree.map(lambda x: x[None], obs)
+            params = model.init(rng, obs_b, (), jnp.ones((1,)))
+            out, _, _ = model.apply(params, obs_b, (), jnp.ones((1,)))
+            a = model.random_action(rng, out)
+            assert a.shape == (1, 4)
+            assert 0 <= float(a[0, 3]) < 8
 
 
 if __name__ == '__main__':
