@@ -104,16 +104,21 @@ def main(argv=None):
         os.path.expanduser(cli.result_path),
         f"{cli.benchmark or 'custom'}-{cli.prefix.rstrip('*')}.csv")
 
-    # rows: metric x per-xpid columns + mean/std (reference result format)
+    # rows: metric x per-xpid columns + mean/std + IQR aggregate
+    # (reference eval.py:508-517: q1--median--q3 over seeds, midpoint interp)
     metrics = sorted({m for r in rows.values() for m in r})
     with open(out, 'w', newline='') as f:
         w = csv.writer(f)
-        w.writerow(['metric'] + list(rows) + ['mean', 'std'])
+        w.writerow(['metric'] + list(rows) + ['mean', 'std', 'iq'])
         for m in metrics:
             vals = [rows[x].get(m, float('nan')) for x in rows]
+            q1 = np.percentile(vals, 25, method='midpoint')
+            q3 = np.percentile(vals, 75, method='midpoint')
+            med = np.median(vals)
             w.writerow([m] + [f'{v:.4f}' for v in vals]
                        + [f'{np.nanmean(vals):.4f}',
-                          f'{np.nanstd(vals):.4f}'])
+                          f'{np.nanstd(vals):.4f}',
+                          f'{q1:.2f}--{med:.2f}--{q3:.2f}'])
         if cli.accumulator == 'mean':
             for kind in ('solved_rate', 'test_returns'):
                 vals = [np.nanmean([v for k, v in rows[x].items()

@@ -42,6 +42,10 @@ NEG_INF = -1e9
 class PLRConfig:
     capacity: int
     num_actors: int
+    # sample_full_distribution (level_sampler.py:38): True = staging→working
+    # buffer over an unbounded level stream; False = fixed pre-filled seed
+    # set with unseen-weight sampling (level_sampler.py:97-118, 686-698)
+    full_distribution: bool = True
     strategy: str = 'value_l1'
     replay_schedule: str = 'proportionate'
     score_transform: str = 'rank'
@@ -72,6 +76,9 @@ class PLRBuffer:
     solvable: jnp.ndarray        # (S,) bool
     grounded_values: jnp.ndarray  # (S,)
     num_edits: jnp.ndarray       # (S,) int32 ACCEL lineage depth
+    slot_ids: jnp.ndarray        # (S,) int32 unique insertion id (-1 = empty);
+                                 # the "seed" identity for level_seeds.csv
+    next_id: jnp.ndarray         # () int32 monotone insertion counter
     sample_count: jnp.ndarray    # () f32 running sample counter
     tscl_returns: jnp.ndarray    # (S, W) return window (tscl_window)
     tscl_stamps: jnp.ndarray     # (S, W) sample-count stamps
@@ -83,8 +90,29 @@ class PLRBuffer:
 
 
 def init_plr(cfg: PLRConfig, level_shape: Tuple[int, ...],
-             level_dtype=jnp.uint8) -> PLRBuffer:
+             level_dtype=jnp.uint8,
+             levels: Optional[jnp.ndarray] = None) -> PLRBuffer:
+    """``levels``: pre-filled fixed seed set (full_distribution=False) —
+    slot i holds the level for training seed i, all marked filled+unseen."""
     S = cfg.capacity
+    if levels is not None:
+        assert levels.shape[0] == S, 'prefill must cover every slot'
+        return PLRBuffer(
+            levels=jnp.asarray(levels, level_dtype),
+            scores=jnp.zeros((S,)),
+            staleness=jnp.zeros((S,)),
+            unseen=jnp.ones((S,)),
+            filled=jnp.ones((S,), bool),
+            solvable=jnp.ones((S,), bool),
+            grounded_values=jnp.full((S,), NEG_INF),
+            num_edits=jnp.zeros((S,), jnp.int32),
+            slot_ids=jnp.arange(S, dtype=jnp.int32),
+            next_id=jnp.int32(S),
+            sample_count=jnp.float32(0.0),
+            tscl_returns=jnp.zeros((S, cfg.tscl_window_size)),
+            tscl_stamps=jnp.zeros((S, cfg.tscl_window_size)),
+            tscl_n=jnp.zeros((S,), jnp.int32),
+        )
     return PLRBuffer(
         levels=jnp.zeros((S, *level_shape), level_dtype),
         scores=jnp.zeros((S,)),
@@ -94,6 +122,8 @@ def init_plr(cfg: PLRConfig, level_shape: Tuple[int, ...],
         solvable=jnp.ones((S,), bool),
         grounded_values=jnp.full((S,), NEG_INF),
         num_edits=jnp.zeros((S,), jnp.int32),
+        slot_ids=jnp.full((S,), -1, jnp.int32),
+        next_id=jnp.int32(0),
         sample_count=jnp.float32(0.0),
         tscl_returns=jnp.zeros((S, cfg.tscl_window_size)),
         tscl_stamps=jnp.zeros((S, cfg.tscl_window_size)),
@@ -162,12 +192,40 @@ def sample_weights(buf: PLRBuffer, cfg: PLRConfig) -> jnp.ndarray:
 
 def sample_replay_decision(buf: PLRBuffer, cfg: PLRConfig,
                            rng: jax.Array) -> jnp.ndarray:
-    """Reference sample_replay_decision, full-distribution branch (:606-622)."""
-    prop = proportion_filled(buf)
+    """Reference sample_replay_decision (level_sampler.py:605-638).
+
+    full_distribution: proportion of *filled* working slots gates replay;
+    fixed-seed mode: proportion of *seen* seeds gates it, and under the
+    'fixed' schedule replay is forced once every seed has been seen.
+    """
     u = jax.random.uniform(rng)
+    if not cfg.full_distribution:
+        prop_seen = 1.0 - buf.unseen.mean()
+        if cfg.replay_schedule == 'fixed':
+            return (prop_seen >= cfg.rho) & (
+                (u < cfg.replay_prob) | (prop_seen >= 1.0))
+        return (prop_seen >= cfg.rho) & (u < prop_seen)
+    prop = proportion_filled(buf)
     if cfg.replay_schedule == 'fixed':
         return (prop >= cfg.rho) & (u < cfg.replay_prob)
     return (prop >= cfg.rho) & (u < jnp.minimum(prop, cfg.replay_prob))
+
+
+def sample_unseen_levels(
+    buf: PLRBuffer, cfg: PLRConfig, rng: jax.Array, n: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, PLRBuffer]:
+    """Fixed-seed mode: draw n seeds ∝ unseen weights
+    (_sample_unseen_level, level_sampler.py:686-698)."""
+    w = buf.unseen / jnp.clip(buf.unseen.sum(), 1e-12, None)
+    seeds = jax.random.choice(rng, buf.capacity, (n,), p=w)
+    levels = buf.levels[seeds]
+    if cfg.staleness_coef > 0:
+        staleness = (buf.staleness + n).at[seeds].set(0.0)
+    else:
+        staleness = buf.staleness
+    buf = buf.replace(
+        staleness=staleness, sample_count=buf.sample_count + n)
+    return seeds, levels, buf
 
 
 def sample_replay_levels(
@@ -496,6 +554,8 @@ def promote_staged(
                 staleness=buf.staleness.at[idx].set(0.0),
                 grounded_values=buf.grounded_values.at[idx].set(NEG_INF),
                 num_edits=buf.num_edits.at[idx].set(staged_num_edits[i]),
+                slot_ids=buf.slot_ids.at[idx].set(buf.next_id),
+                next_id=buf.next_id + 1,
             )
 
         buf = jax.lax.cond(accept, do_insert, lambda b: b, buf)

@@ -107,6 +107,12 @@ class CarRacingNetwork(nn.Module):
         ent = beta_entropy(out['alpha'], out['beta']).mean()
         return lp, ent
 
+    def deterministic_action(self, out):
+        u = beta_mode(out['alpha'], out['beta'])
+        low = jnp.asarray(self.action_low)
+        high = jnp.asarray(self.action_high)
+        return u * (high - low) + low
+
 
 class CarRacingAdversaryNetwork(nn.Module):
     """Sketch teacher (car_racing_models.py:168-530).

@@ -134,6 +134,10 @@ class MultigridNetwork(nn.Module):
         return (categorical_log_prob(logits, actions),
                 categorical_entropy(logits).mean())
 
+    def deterministic_action(self, logits):
+        from .distributions import categorical_mode
+        return categorical_mode(logits)
+
 
 class MultigridGlobalCriticNetwork(MultigridNetwork):
     """Student with a full-grid critic trunk (reference

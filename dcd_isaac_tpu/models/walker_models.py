@@ -96,6 +96,9 @@ class WalkerStudentPolicy(nn.Module):
         ent = normal_entropy(out['log_std']).mean()
         return lp, ent
 
+    def deterministic_action(self, out):
+        return out['mean']
+
 
 class WalkerAdversaryPolicy(nn.Module):
     """Teacher MLP (walker_models.py:170-256); tanh-squashed design actions."""
@@ -154,6 +157,9 @@ class WalkerAdversaryPolicy(nn.Module):
         lp = normal_log_prob(out['mean'], out['log_std'], actions)
         ent = normal_entropy(out['log_std']).mean()
         return lp, ent
+
+    def deterministic_action(self, out):
+        return jnp.tanh(out['mean'])
 
 
 def make_walker_model(args, env, agent_type: str):

@@ -606,8 +606,11 @@ class AdversarialRunner:
             # ACCEL 'easy' base selection metric
             easy_metric = (a_info['rollout']['mean_return']
                            - a_info['batched_value_loss'])
+            # --log_replay_complexity: env stats over the replayed levels
+            # (reference adversarial_runner.py:825-830)
             stats = self._device_stats(
-                state, None, a_info, b_info, t_stats, env_ret)
+                state, env_states if args.log_replay_complexity else None,
+                a_info, b_info, t_stats, env_ret)
             return state, stats, seeds, easy_metric
 
         return cycle
@@ -688,24 +691,64 @@ class AdversarialRunner:
                 'adversary_env_dist_entropy': t_stats['dist_entropy'],
             })
         if env_states is not None:
+            env_stats = {}
             if hasattr(env_states, 'n_clutter_placed'):
-                stats.update({
+                # solved_path_length: mean over envs either student solved
+                # (reference _get_env_stats_multigrid, :284-294)
+                max_r = a_info['rollout']['max_return']
+                if b_info is not None:
+                    max_r = jnp.maximum(max_r, b_info['rollout']['max_return'])
+                solved = max_r > 0
+                spl = env_states.shortest_path_length
+                env_stats.update({
                     'num_blocks': env_states.n_clutter_placed.mean(),
                     'passable_ratio': env_states.passable.mean(),
-                    'shortest_path_length':
-                        env_states.shortest_path_length.mean(),
+                    'shortest_path_length': spl.mean(),
+                    'solved_path_length': jnp.where(
+                        solved.any(),
+                        (spl * solved).sum()
+                        / jnp.clip(solved.sum(), 1, None), 0.0),
                 })
             elif hasattr(env_states, 'level_params'):
                 p = env_states.level_params
-                stats.update({
+                env_stats.update({
                     'ground_roughness': p[:, 0].mean(),
                     'pit_gap_high': jnp.maximum(p[:, 1], p[:, 2]).mean(),
                     'stump_height_high': jnp.maximum(p[:, 3], p[:, 4]).mean(),
                     'stair_height_high': jnp.maximum(p[:, 5], p[:, 6]).mean(),
                 })
+            stats['_env_stats'] = env_stats
         if state.plr_agent is not None:
             stats.update(plr_lib.plr_stats(state.plr_agent, self.plr_cfg))
         return stats
+
+    # ------------------------------------------------------------------
+    # Host-side checkpoint state (reference state_dict
+    # adversarial_runner.py:195-216 — incl. both return deques and
+    # latest_env_stats)
+    # ------------------------------------------------------------------
+    def host_state_dict(self) -> Dict[str, Any]:
+        return {
+            'num_updates': self.num_updates,
+            'total_num_edits': self.total_num_edits,
+            'total_episodes_collected': self.total_episodes_collected,
+            'total_seeds_collected': self.total_seeds_collected,
+            'student_grad_updates': self.student_grad_updates,
+            'agent_returns': list(self.agent_returns),
+            'adversary_agent_returns': list(self.adversary_agent_returns),
+            'latest_env_stats': dict(self.latest_env_stats),
+        }
+
+    def load_host_state_dict(self, host: Dict[str, Any]):
+        for k, v in host.items():
+            if k in ('agent_returns', 'adversary_agent_returns'):
+                dq = getattr(self, k)
+                dq.clear()
+                dq.extend(v)
+            elif k == 'latest_env_stats':
+                self.latest_env_stats = dict(v)
+            else:
+                setattr(self, k, v)
 
     # ------------------------------------------------------------------
     def _jit(self, name, builder):
@@ -721,8 +764,10 @@ class AdversarialRunner:
         level_replay = False
         if self.use_plr:
             # host-side coin for program selection (decision itself uses the
-            # same formula as the reference, on current buffer state)
-            dec_rng, _ = jax.random.split(self.state.rng)
+            # same formula as the reference, on current buffer state).
+            # fold_in with a fixed tag keeps the coin independent of the
+            # cycle program's own splits of state.rng.
+            dec_rng = jax.random.fold_in(self.state.rng, 0x5EED)
             level_replay = bool(plr_lib.sample_replay_decision(
                 self.state.plr_agent, self.plr_cfg, dec_rng))
 
@@ -783,16 +828,37 @@ class AdversarialRunner:
                     acts, dns)
             else:
                 stats.pop('agent_action_complexity', None)
+        env_stats = stats.pop('_env_stats', None)
         host = {k: float(np.asarray(v)) for k, v in stats.items()}
+
+        # Env complexity stats: fresh on generate cycles (and on replay
+        # cycles under --log_replay_complexity, 'plr_'-prefixed); otherwise
+        # re-log the latest (reference adversarial_runner.py:825-840).
+        if env_stats is not None:
+            prefix = 'plr_' if level_replay else ''
+            fresh = {prefix + k: float(np.asarray(v))
+                     for k, v in env_stats.items()}
+            host.update(fresh)
+            if self.use_plr:
+                self.latest_env_stats.update(fresh)
+        elif self.latest_env_stats:
+            host.update(self.latest_env_stats)
+
         n_epi = host.pop('episodes', 0)
         ret_sum = host.pop('returns_sum', 0.0)
         self.total_episodes_collected += int(n_epi)
         if n_epi > 0:
             self.agent_returns.append(ret_sum / n_epi)
-        host.pop('adversary_episodes', None)
+        adv_epi = host.pop('adversary_episodes', None)
         adv_sum = host.pop('adversary_returns_sum', None)
+        if adv_epi is not None and adv_epi > 0:
+            self.adversary_agent_returns.append(adv_sum / adv_epi)
         host['mean_agent_return'] = (
             float(np.mean(self.agent_returns)) if self.agent_returns else 0.0)
+        if self.is_paired:
+            host['mean_adversary_agent_return'] = (
+                float(np.mean(self.adversary_agent_returns))
+                if self.adversary_agent_returns else 0.0)
         host.update({
             'steps': ((self.num_updates + self.total_num_edits)
                       * args.num_processes * args.num_steps),

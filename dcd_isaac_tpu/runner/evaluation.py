@@ -87,10 +87,9 @@ class Evaluator:
                 rng, r_act = jax.random.split(rng)
                 out, _, carry = model.apply(params, obs, carry, mask)
                 if self.deterministic:
-                    if model.dist_type == 'categorical':
-                        action = jnp.argmax(out, -1)
-                    else:
-                        action = out['mean']
+                    # per-model protocol: handles Beta mode + action-bound
+                    # scaling (regression: reference eval.py deterministic)
+                    action = model.deterministic_action(out)
                 else:
                     action, _ = model.sample_action(r_act, out)
                 env_states, obs, reward, done, _ = jax.vmap(env.step)(

@@ -44,8 +44,7 @@ def main(argv=None):
     initial_update = 0
     if args.checkpoint and os.path.exists(checkpoint_path):
         runner.state, host = load_checkpoint(checkpoint_path, runner.state)
-        for k, v in host.items():
-            setattr(runner, k, v)
+        runner.load_host_state_dict(host)
         initial_update = runner.num_updates
         print(f'Resumed from update {initial_update}', flush=True)
 
@@ -93,7 +92,8 @@ def main(argv=None):
             from .level_replay import plr as plr_lib
             w = np.asarray(plr_lib.sample_weights(
                 runner.state.plr_agent, runner.plr_cfg))
-            filewriter.log_level_weights(w)
+            filewriter.log_level_weights(
+                w, seeds=np.asarray(runner.state.plr_agent.slot_ids))
 
         if args.screenshot_interval > 0 and \
                 j % args.screenshot_interval == 0 and runner.use_plr:
@@ -113,13 +113,7 @@ def main(argv=None):
         if args.checkpoint and not args.disable_checkpoint and \
                 args.checkpoint_interval > 0 and \
                 checkpoint_basis % args.checkpoint_interval == 0:
-            host = {
-                'num_updates': runner.num_updates,
-                'total_num_edits': runner.total_num_edits,
-                'total_episodes_collected': runner.total_episodes_collected,
-                'total_seeds_collected': runner.total_seeds_collected,
-                'student_grad_updates': runner.student_grad_updates,
-            }
+            host = runner.host_state_dict()
             save_checkpoint(checkpoint_path, runner.state, host)
             if args.archive_interval > 0 and \
                     checkpoint_basis % args.archive_interval == 0:
