@@ -216,7 +216,11 @@ def sample_unseen_levels(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PLRBuffer]:
     """Fixed-seed mode: draw n seeds ∝ unseen weights
     (_sample_unseen_level, level_sampler.py:686-698)."""
-    w = buf.unseen / jnp.clip(buf.unseen.sum(), 1e-12, None)
+    total = buf.unseen.sum()
+    # all-seen fallback: uniform (unreachable in practice — the replay
+    # decision forces replay once everything is seen, :204-207)
+    w = jnp.where(total > 0, buf.unseen / jnp.clip(total, 1e-12, None),
+                  1.0 / buf.capacity)
     seeds = jax.random.choice(rng, buf.capacity, (n,), p=w)
     levels = buf.levels[seeds]
     if cfg.staleness_coef > 0:
@@ -513,57 +517,78 @@ def promote_staged(
 ) -> PLRBuffer:
     """Insert this cycle's staged levels into the working buffer.
 
-    Sequential scan in env order: each insertion evicts the current
-    minimum-sample-weight (or minimum-score) slot, accepting only if the
-    staged score beats the incumbent or the slot is unseen/empty
-    (level_sampler.py:239-257).
+    Batched variant of the reference's per-insert loop
+    (level_sampler.py:239-257): eviction priorities are computed ONCE per
+    cycle — empty slots are targeted first (in index order), then filled
+    slots in ascending sample-weight (or score) order, each paired with one
+    staged level.  A pairing is accepted iff the staged level is valid and
+    its score beats the incumbent (or the slot is unseen/empty).
+
+    Deviation from the strictly sequential reference (documented): weights
+    are not recomputed after each insert, so within one cycle two staged
+    levels cannot evict each other.  This removes the O(N·S·logS)
+    sequential scan — total cost is one argsort over S plus one batched
+    scatter, so N=4096-actor configs stay off the critical path.
     """
     N = staged_scores.shape[0]
     S = buf.capacity
     if staged_solvable is None:
         staged_solvable = jnp.ones((N,), bool)
     if staged_num_edits is None:
-        staged_num_edits = jnp.zeros((N,), jnp.int32)
+        staged_num_edits = jnp.full((N,), 0, jnp.int32)
+    elif jnp.ndim(staged_num_edits) == 0:
+        staged_num_edits = jnp.full((N,), staged_num_edits, jnp.int32)
 
     valid = staged_counts > 0
     if cfg.reject_unsolvable:
         valid = valid & staged_solvable
 
-    def insert_one(carry, i):
-        buf = carry
-        not_full = ~buf.filled.all()
-        first_empty = jnp.argmin(buf.filled)  # first False
-        if cfg.seed_buffer_priority == 'replay_support':
-            evict = jnp.argmin(
-                jnp.where(buf.filled, sample_weights(buf, cfg), jnp.inf))
-        else:
-            evict = jnp.argmin(jnp.where(buf.filled, buf.scores, jnp.inf))
-        idx = jnp.where(not_full, first_empty, evict)
-        score = staged_scores[i]
-        accept = valid[i] & (
-            (buf.scores[idx] <= score) | (buf.unseen[idx] > 0)
-            | ~buf.filled[idx])
+    # Target slot per staged level: empties first (index order), then
+    # filled slots by ascending priority.  argsort(filled) is stable, so
+    # empty slots come first in index order.
+    empty_order = jnp.argsort(buf.filled, stable=True)          # (S,)
+    n_empty = (~buf.filled).sum()
+    if cfg.seed_buffer_priority == 'replay_support':
+        prio = sample_weights(buf, cfg)
+    else:
+        prio = buf.scores
+    evict_order = jnp.argsort(
+        jnp.where(buf.filled, prio, jnp.inf), stable=True)      # (S,)
 
-        def do_insert(buf):
-            return buf.replace(
-                levels=buf.levels.at[idx].set(staged_levels[i]),
-                scores=buf.scores.at[idx].set(score),
-                unseen=buf.unseen.at[idx].set(0.0),
-                filled=buf.filled.at[idx].set(True),
-                solvable=buf.solvable.at[idx].set(staged_solvable[i]),
-                staleness=buf.staleness.at[idx].set(0.0),
-                grounded_values=buf.grounded_values.at[idx].set(NEG_INF),
-                num_edits=buf.num_edits.at[idx].set(staged_num_edits[i]),
-                slot_ids=buf.slot_ids.at[idx].set(buf.next_id),
-                next_id=buf.next_id + 1,
-            )
+    # Rank staged levels: valid ones first, by score descending, so when
+    # N > S (more staged than slots) the highest-scoring levels win the
+    # limited eviction targets.
+    staged_rank = jnp.argsort(
+        jnp.where(valid, -staged_scores, jnp.inf), stable=True)  # (N,)
+    rank_of = jnp.zeros((N,), jnp.int32).at[staged_rank].set(
+        jnp.arange(N, dtype=jnp.int32))
+    k = rank_of                                                  # (N,)
+    use_empty = k < n_empty
+    idx = jnp.where(
+        use_empty,
+        empty_order[jnp.clip(k, 0, S - 1)],
+        evict_order[jnp.clip(k - n_empty, 0, S - 1)])
+    in_range = k < S
+    accept = valid & in_range & (
+        use_empty | (buf.scores[idx] <= staged_scores)
+        | (buf.unseen[idx] > 0) | ~buf.filled[idx])
 
-        buf = jax.lax.cond(accept, do_insert, lambda b: b, buf)
-        return buf, accept
-
-    buf = buf.replace(sample_count=buf.sample_count + N)
-    buf, accepted = jax.lax.scan(insert_one, buf, jnp.arange(N))
-    return buf
+    safe = jnp.where(accept, idx, S)  # S = out-of-bounds → dropped
+    ids = buf.next_id + jnp.cumsum(accept.astype(jnp.int32)) - 1
+    drop = dict(mode='drop')
+    return buf.replace(
+        levels=buf.levels.at[safe].set(staged_levels, **drop),
+        scores=buf.scores.at[safe].set(staged_scores, **drop),
+        unseen=buf.unseen.at[safe].set(0.0, **drop),
+        filled=buf.filled.at[safe].set(True, **drop),
+        solvable=buf.solvable.at[safe].set(staged_solvable, **drop),
+        staleness=buf.staleness.at[safe].set(0.0, **drop),
+        grounded_values=buf.grounded_values.at[safe].set(NEG_INF, **drop),
+        num_edits=buf.num_edits.at[safe].set(staged_num_edits, **drop),
+        slot_ids=buf.slot_ids.at[safe].set(ids, **drop),
+        next_id=buf.next_id + accept.sum(dtype=jnp.int32),
+        sample_count=buf.sample_count + N,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -108,9 +108,20 @@ class AdversarialRunner:
 
         self.plr_cfg = None
         if self.use_plr:
+            # Fixed-seed PLR (train_full_distribution=False,
+            # level_sampler.py:38,97-118): a pre-filled seed set, no staging.
+            # Only meaningful for the original PLR regime (DR level source) —
+            # teacher/editor methods generate new levels, which cannot live
+            # in a fixed seed set (the reference would crash too: its
+            # observe_external_unseen_sample needs staging sets).
+            if not args.train_full_distribution:
+                assert self.is_dr and not self.use_editor, (
+                    '--train_full_distribution false requires '
+                    'ued_algo=domain_randomization without --use_editor')
             self.plr_cfg = plr_lib.PLRConfig(
                 capacity=args.level_replay_seed_buffer_size,
                 num_actors=N,
+                full_distribution=args.train_full_distribution,
                 strategy=args.level_replay_strategy,
                 replay_schedule=args.level_replay_schedule,
                 score_transform=args.level_replay_score_transform,
@@ -237,8 +248,21 @@ class AdversarialRunner:
 
         plr_agent = plr_antagonist = None
         if self.use_plr:
+            prefill = None
+            if not self.plr_cfg.full_distribution:
+                # Fixed training-seed set: level i = deterministic random
+                # level from sub-key i of the run seed (the reference's
+                # fixed seed list, level_sampler.py:123-128).
+                keys = jax.random.split(
+                    jax.random.PRNGKey(args.seed),
+                    self.plr_cfg.capacity)
+
+                def _lvl(k):
+                    st, _ = env.reset_random(k)
+                    return env.get_level(st)
+                prefill = jax.lax.map(jax.jit(_lvl), keys, batch_size=256)
             plr_agent = plr_lib.init_plr(self.plr_cfg, env.level_shape,
-                                         env.level_dtype)
+                                         env.level_dtype, levels=prefill)
             if self.is_paired and not (
                     args.protagonist_plr or args.antagonist_plr):
                 plr_antagonist = plr_lib.init_plr(
@@ -436,19 +460,31 @@ class AdversarialRunner:
         discard = self.use_plr and self.robust_plr
         env = self.env
 
+        fixed_seed = self.use_plr and not self.plr_cfg.full_distribution
+
         def cycle(state: RunnerState):
             rng, r_gen, r_stu, r_ant, r_t = jax.random.split(state.rng, 5)
-            env_states, t_rollout, t_next_value = self._generate_levels(
-                state, r_gen)
-            seeds = (jnp.arange(N, dtype=jnp.int32) + S if self.use_plr
-                     else jnp.full((N,), -1, jnp.int32))
+            plr_in = state.plr_agent
+            if fixed_seed:
+                # Fixed-seed mode: draw unseen training seeds ∝ unseen
+                # weights (_sample_unseen_level, level_sampler.py:686-698);
+                # scores apply directly to those slots (no staging).
+                seeds, fixed_levels, plr_in = plr_lib.sample_unseen_levels(
+                    plr_in, self.plr_cfg, r_gen, N)
+                env_states, _ = jax.vmap(env.reset_to_level)(fixed_levels)
+                t_rollout = t_next_value = None
+            else:
+                env_states, t_rollout, t_next_value = self._generate_levels(
+                    state, r_gen)
+                seeds = (jnp.arange(N, dtype=jnp.int32) + S if self.use_plr
+                         else jnp.full((N,), -1, jnp.int32))
 
             ro_fn = (self._ro_random if (self.is_dr and not self.use_plr)
                      else self._ro_same)
             agent_state, plr_a, st_scores, st_counts, a_info = (
                 self._student_phase(
                     state.agent, ro_fn, self.update_agent, env_states, seeds,
-                    state.plr_agent, r_stu, discard,
+                    plr_in, r_stu, discard,
                     update_sampler=self.use_plr,
                     model=self.models['agent'], ret_rms=state.ret_rms))
             ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
@@ -469,8 +505,10 @@ class AdversarialRunner:
                     ret_rms = b_info['ret_rms']
 
             # promote this cycle's new levels into the PLR buffer(s)
+            # (full-distribution staging only; fixed-seed slots were
+            # updated in place by update_with_rollout)
             levels = solvable = None
-            if self.use_plr:
+            if self.use_plr and not fixed_seed:
                 levels = jax.vmap(env.get_level)(env_states)
                 solvable = (
                     jax.vmap(lambda s: s.passable)(env_states)

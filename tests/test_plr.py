@@ -219,16 +219,19 @@ class TestPromotion:
         counts = jnp.ones(4)
         buf = promote_staged(buf, cfg, levels, scores, counts)
         assert bool(buf.filled.all())
-        np.testing.assert_allclose(np.asarray(buf.scores), [3, 1, 2, 4])
+        # slot placement is an implementation detail; the level set matters
+        np.testing.assert_allclose(
+            sorted(np.asarray(buf.scores).tolist()), [1, 2, 3, 4])
 
         # Buffer full: new level with score 2.5 must evict the min-weight
-        # slot (score 1.0 at idx 1) and be accepted (2.5 >= 1.0).
+        # slot (score 1.0) and be accepted (2.5 >= 1.0).
         new_level = jnp.full((1, *LEVEL_SHAPE), 99, jnp.uint8)
         buf2 = promote_staged(
             buf, cfg, new_level, jnp.asarray([2.5]), jnp.ones(1))
         s = np.asarray(buf2.scores)
-        assert np.isclose(s[1], 2.5)
-        assert np.asarray(buf2.levels[1]).max() == 99
+        np.testing.assert_allclose(sorted(s.tolist()), [2, 2.5, 3, 4])
+        slot = int(np.argwhere(np.isclose(s, 2.5))[0, 0])
+        assert np.asarray(buf2.levels[slot]).max() == 99
 
         # Rejected: staged score below the incumbent min.
         buf3 = promote_staged(
@@ -253,10 +256,11 @@ class TestPromotion:
                              jnp.asarray([0.1, 10.0, 0.1, 0.1]), jnp.ones(4))
         seeds, got, buf = sample_replay_levels(
             buf, cfg, jax.random.PRNGKey(0), 64)
-        # rank 0.1 temp → overwhelmingly seed 1
-        assert (np.asarray(seeds) == 1).mean() > 0.9
+        # rank 0.1 temp → overwhelmingly the slot holding score 10
+        top = int(np.argmax(np.asarray(buf.scores)))
+        assert (np.asarray(seeds) == top).mean() > 0.9
         np.testing.assert_array_equal(
-            np.asarray(got[0]), np.asarray(levels[np.asarray(seeds)[0]]))
+            np.asarray(got[0]), np.asarray(buf.levels[np.asarray(seeds)[0]]))
 
 
 if __name__ == '__main__':
