@@ -22,6 +22,9 @@ def main():
     ap.add_argument('--num_processes', type=int, default=None)
     ap.add_argument('--num_steps', type=int, default=None)
     ap.add_argument('--cycles', type=int, default=None)
+    ap.add_argument('--mesh_shape', type=str, default='',
+                    help="shard the benchmark over a mesh, e.g. 'dp:8'")
+    ap.add_argument('--bf16', type=str, default='false')
     args_cli = ap.parse_args()
 
     import jax
@@ -48,11 +51,16 @@ def main():
         '--num_mini_batch', '1',
         '--recurrent_adversary_env', 'true',
         '--handle_timelimits', 'true',
+        '--bf16', args_cli.bf16,
     ])
 
     env = make_env(args.env_name)
     models = make_all_models(args, env)
     runner = AdversarialRunner(args, env, models, jax.random.PRNGKey(0))
+
+    if args_cli.mesh_shape:
+        from dcd_isaac_tpu.parallel.mesh import make_mesh_from_spec
+        runner.attach_mesh(make_mesh_from_spec(args_cli.mesh_shape))
 
     # warmup / compile (two cycles: the runner-state pytree must be warm)
     runner.run()

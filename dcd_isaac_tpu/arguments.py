@@ -131,6 +131,8 @@ _FLAGS = [
     ('bf16', str2bool, False),          # bfloat16 model compute
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
+    ('multihost', str2bool, False),     # jax.distributed.initialize()
+    ('debug_nans', str2bool, False),    # dev-mode NaN checking (SURVEY §5.2)
 ]
 
 

@@ -202,7 +202,23 @@ class AdversarialRunner:
         self.latest_env_stats = {}
 
         self._jit_cache = {}
+        self.mesh = None               # set via attach_mesh (--mesh_shape)
         self.state = self._init_state(rng)
+
+    # ------------------------------------------------------------------
+    def attach_mesh(self, mesh):
+        """Shard the runner state over a device mesh (SPMD scale-out).
+
+        Env-batch leaves shard over the 'dp' axis; params/optimizer/PLR
+        replicate — XLA inserts the gradient psum and batch collectives.
+        The compiled cycle programs then run as one SPMD program per cycle
+        (the reference's env fan-out + learner, parallel_wrappers.py:103-137,
+        fused into one jitted step).
+        """
+        from ..parallel.mesh import place_runner_state
+        self.mesh = mesh
+        self.state = place_runner_state(
+            self.state, mesh, self.args.num_processes)
 
     # ------------------------------------------------------------------
     def _reset_random_fn(self):
@@ -796,6 +812,12 @@ class AdversarialRunner:
 
     def run(self) -> Dict[str, float]:
         """One full DCD cycle; returns host-side stats dict."""
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                return self._run_impl()
+        return self._run_impl()
+
+    def _run_impl(self) -> Dict[str, float]:
         args = self.args
         np_rng = np.random
 
