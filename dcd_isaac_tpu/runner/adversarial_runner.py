@@ -771,6 +771,12 @@ class AdversarialRunner:
                     'stump_height_high': jnp.maximum(p[:, 3], p[:, 4]).mean(),
                     'stair_height_high': jnp.maximum(p[:, 5], p[:, 6]).mean(),
                 })
+            elif hasattr(env_states, 'track'):
+                # CarRacing: export the track polylines; geo-complexity is
+                # computed host-side in _run_impl (reference
+                # _get_env_stats_car_racing + util/geo_complexity.py)
+                stats['_track_points'] = env_states.track.points
+                stats['_track_valid'] = env_states.track.valid
             stats['_env_stats'] = env_stats
         if state.plr_agent is not None:
             stats.update(plr_lib.plr_stats(state.plr_agent, self.plr_cfg))
@@ -889,6 +895,14 @@ class AdversarialRunner:
             else:
                 stats.pop('agent_action_complexity', None)
         env_stats = stats.pop('_env_stats', None)
+        tp = stats.pop('_track_points', None)
+        tv = stats.pop('_track_valid', None)
+        if tp is not None and env_stats is not None:
+            from ..utils.geo_complexity import batch_track_complexity
+            track_stats = batch_track_complexity(
+                np.asarray(tp), np.asarray(tv))
+            env_stats.update(
+                {'track_' + k: v for k, v in track_stats.items()})
         host = {k: float(np.asarray(v)) for k, v in stats.items()}
 
         # Env complexity stats: fresh on generate cycles (and on replay
