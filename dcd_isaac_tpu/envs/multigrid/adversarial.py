@@ -178,8 +178,12 @@ class AdversarialMultiGrid:
         agent_xy = jnp.where(collide, rand_agent, jnp.stack([x, y]))
         agent_start_pos = jnp.where(choose_agent, agent_xy, agent_start_pos)
 
-        # --- place wall (no-op on occupied cells) -------------------------
-        wall_ok = place_wall & (grid[x, y].astype(jnp.int32) == EMPTY)
+        # --- place wall (no-op on occupied cells; the reference grid holds
+        # the Agent object, so the agent's cell is occupied too) -----------
+        on_agent = (agent_start_pos[0] == x) & (agent_start_pos[1] == y) \
+            & (agent_start_pos[0] >= 0)
+        wall_ok = place_wall & (grid[x, y].astype(jnp.int32) == EMPTY) \
+            & ~on_agent
         grid = jnp.where(wall_ok, grid.at[x, y].set(WALL), grid)
         n_clutter_placed = n_clutter_placed + wall_ok.astype(jnp.int32)
 
