@@ -67,6 +67,17 @@ def main(argv=None):
             runner.attach_mesh(runner.mesh)
         initial_update = runner.num_updates
         print(f'Resumed from update {initial_update}', flush=True)
+    elif args.xpid_finetune and not os.path.exists(checkpoint_path):
+        # fine-tuning init (reference train.py:112-141): student agent
+        # params + optimizer from the base run; everything else fresh
+        from .utils.checkpoint import load_agent_finetune
+        base_path = os.path.join(
+            log_dir, args.xpid_finetune, f'{args.model_finetune}.tar')
+        runner.state = runner.state.replace(
+            agent=load_agent_finetune(base_path, runner.state.agent))
+        if runner.mesh is not None:
+            runner.attach_mesh(runner.mesh)
+        print(f'Fine-tuning from {base_path}', flush=True)
 
     evaluator = None
     test_env_names = [e for e in args.test_env_names.split(',') if e]

@@ -40,6 +40,19 @@ def load_checkpoint(path: str, template: Any):
     return state, payload['host']
 
 
+def load_agent_finetune(path: str, agent_template: Any):
+    """Extract ONLY the student agent train state from a checkpoint.
+
+    Fine-tuning init (reference train.py:112-141): loads the base run's
+    agent model + optimizer, leaving everything else (teacher, PLR buffers,
+    counters) fresh — so the base run's config need not match the new one.
+    """
+    with open(path, 'rb') as f:
+        payload = pickle.load(f)
+    raw = serialization.msgpack_restore(payload['pytree'])
+    return serialization.from_state_dict(agent_template, raw['agent'])
+
+
 def archive_path(base_path: str, index: int) -> str:
     root, ext = os.path.splitext(base_path)
     return f'{root}_{index}{ext}'
