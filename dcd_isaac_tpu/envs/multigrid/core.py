@@ -19,10 +19,12 @@ Semantics reproduced exactly (single-agent, ``minigrid_mode``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .constants import (
@@ -241,35 +243,43 @@ def _process_vis(view: jnp.ndarray, view_size: int) -> jnp.ndarray:
     return mask
 
 
+@functools.lru_cache()
+def _view_offset_table(v: int) -> np.ndarray:
+    """(4, v, v, 2) grid offsets per direction for the egocentric view.
+
+    View cell (i, j) — agent at (v//2, v-1) facing "up" — maps to
+    ``agent_pos + forward·(v-1-j) + right·(i - v//2)``.  One static table
+    turns the reference's slice+rotate pipeline (multigrid.py:977-996)
+    into a single batched gather, the hot op of every env step.
+    """
+    vecs = np.array([(1, 0), (0, 1), (-1, 0), (0, -1)], np.int32)
+    offs = np.zeros((4, v, v, 2), np.int32)
+    for d in range(4):
+        f, r = vecs[d], vecs[(d + 1) % 4]
+        for i in range(v):
+            for j in range(v):
+                offs[d, i, j] = f * (v - 1 - j) + r * (i - v // 2)
+    return offs
+
+
 def gen_obs(state: MultiGridState, params: MultiGridParams) -> dict:
     """Egocentric partial observation {'image': (v, v, 3) uint8, 'direction': ()}.
 
-    Reference: multigrid.py:977-1041 (gen_obs_grid + encode).
+    Reference: multigrid.py:977-1041 (gen_obs_grid + encode), re-expressed
+    as one gather through a static offset table (out-of-bounds reads as
+    Wall, like Grid.slice's padding).
     """
     v = params.agent_view_size
-    ax, ay = state.agent_pos[0], state.agent_pos[1]
+    W, H = params.width, params.height
     d = state.agent_dir
 
-    # View-top per direction (reference get_view_exts, multigrid.py:762-790).
-    tops = jnp.stack([
-        jnp.stack([ax, ay - v // 2]),
-        jnp.stack([ax - v // 2, ay]),
-        jnp.stack([ax - v + 1, ay - v // 2]),
-        jnp.stack([ax - v // 2, ay - v + 1]),
-    ])
-    top = tops[d]
-
-    # Out-of-bounds cells read as walls (reference Grid.slice pads with Wall).
-    padded = jnp.pad(state.grid, ((v, v), (v, v)), constant_values=WALL)
-    window = jax.lax.dynamic_slice(padded, (top[0] + v, top[1] + v), (v, v))
-
-    # Rotate left (dir + 1) times so the agent faces "up" in view coords.
-    rots = [window]
-    for _ in range(3):
-        rots.append(_rotate_left(rots[-1]))
-    window = jax.lax.switch(d % 4, [
-        lambda r=r: r for r in [rots[1], rots[2], rots[3], rots[0]]
-    ])
+    coords = state.agent_pos[None, None, :] + jnp.asarray(
+        _view_offset_table(v))[d]                       # (v, v, 2)
+    inb = ((coords[..., 0] >= 0) & (coords[..., 0] < W)
+           & (coords[..., 1] >= 0) & (coords[..., 1] < H))
+    flat = (jnp.clip(coords[..., 0], 0, W - 1) * H
+            + jnp.clip(coords[..., 1], 0, H - 1))
+    window = jnp.where(inb, state.grid.reshape(-1)[flat], jnp.uint8(WALL))
 
     # The agent's own cell shows what it carries (nothing here) → empty.
     window = window.at[v // 2, v - 1].set(EMPTY)

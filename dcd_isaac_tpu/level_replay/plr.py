@@ -59,6 +59,9 @@ class PLRConfig:
     staleness_temperature: float = 1.0
     max_score_coef: float = 0.0
     seed_buffer_priority: str = 'replay_support'
+    # exact-duplicate levels fold into their existing slot instead of
+    # inserting (reference LevelStore.level2seed, level_store.py:35-70)
+    dedup: bool = True
     gamma: float = 0.999
     use_dense_rewards: bool = False
     reject_unsolvable: bool = False
@@ -542,6 +545,38 @@ def promote_staged(
     valid = staged_counts > 0
     if cfg.reject_unsolvable:
         valid = valid & staged_solvable
+
+    # Duplicate levels fold into their existing slot instead of inserting
+    # (reference LevelStore.level2seed dedup, level_store.py:35-70): match
+    # by 64-bit content hash (S×N exact compares would be O(S·N·bytes)),
+    # EWA-update the incumbent's score and refresh its staleness.
+    if cfg.dedup:
+        def lhash(lv, mult):
+            # FNV-style positional hash; two independent 32-bit lanes give
+            # a 64-bit collision space (x64 mode is off on TPU)
+            flat = lv.reshape(lv.shape[0], -1).astype(jnp.uint32)
+            k = (jnp.arange(flat.shape[1], dtype=jnp.uint32)
+                 * jnp.uint32(mult) + jnp.uint32(1))
+            return (flat * k[None, :]).sum(-1)
+
+        M1, M2 = 0x9E3779B1, 0x85EBCA77
+        eq = ((lhash(staged_levels, M1)[:, None]
+               == lhash(buf.levels, M1)[None, :])
+              & (lhash(staged_levels, M2)[:, None]
+                 == lhash(buf.levels, M2)[None, :]))      # (N, S)
+        eq = eq & buf.filled[None, :]
+        is_dup = eq.any(1) & valid
+        dup_slot = jnp.argmax(eq, axis=1)
+        a = cfg.alpha
+        dup_target = jnp.where(is_dup, dup_slot, S)       # S = dropped
+        new_score = (1 - a) * buf.scores[dup_slot] + a * staged_scores
+        buf = buf.replace(
+            scores=buf.scores.at[dup_target].set(
+                jnp.where(is_dup, new_score, 0.0), mode='drop'),
+            unseen=buf.unseen.at[dup_target].set(0.0, mode='drop'),
+            staleness=buf.staleness.at[dup_target].set(0.0, mode='drop'),
+        )
+        valid = valid & ~is_dup
 
     # Target slot per staged level: empties first (index order), then
     # filled slots by ascending priority.  argsort(filled) is stable, so

@@ -233,11 +233,20 @@ class TestPromotion:
         slot = int(np.argwhere(np.isclose(s, 2.5))[0, 0])
         assert np.asarray(buf2.levels[slot]).max() == 99
 
-        # Rejected: staged score below the incumbent min.
+        # Rejected: a NEW (distinct) staged level scoring below the min.
+        low_level = jnp.full((1, *LEVEL_SHAPE), 98, jnp.uint8)
         buf3 = promote_staged(
-            buf2, cfg, new_level, jnp.asarray([0.5]), jnp.ones(1))
+            buf2, cfg, low_level, jnp.asarray([0.5]), jnp.ones(1))
         np.testing.assert_allclose(np.asarray(buf3.scores),
                                    np.asarray(buf2.scores))
+
+        # Duplicate of an existing level: folds into its slot (EWA, α=1 →
+        # replace) instead of inserting (reference LevelStore dedup).
+        buf4 = promote_staged(
+            buf2, cfg, new_level, jnp.asarray([7.0]), jnp.ones(1))
+        s4 = np.asarray(buf4.scores)
+        assert np.isclose(s4[np.asarray(buf2.scores) == 2.5][0], 7.0)
+        assert int(buf4.next_id) == int(buf2.next_id)  # no new identity
 
     def test_no_episodes_no_insert(self):
         cfg = make_cfg(capacity=4)
