@@ -50,7 +50,8 @@ def main():
         '--ppo_epoch', '5',
         '--num_mini_batch', '1',
         '--recurrent_adversary_env', 'true',
-        '--handle_timelimits', 'true',
+        # handle_timelimits off: the reference's multigrid configs
+        # (mg_25b_*.json) do not use proper-time-limit bootstrapping
         '--bf16', args_cli.bf16,
     ])
 

@@ -70,6 +70,9 @@ def make_student_rollout(
     num_actions = env.num_actions
     T = cfg.num_steps
 
+    # The default auto-reset (replay same level) is deterministic — skip
+    # the per-step N-way key split the stochastic reset_fns need.
+    reset_needs_rng = reset_fn is not None
     if reset_fn is None:
         def reset_fn(rng, state, seed):
             state, obs = env.reset_agent(state)
@@ -166,8 +169,10 @@ def make_student_rollout(
             # the next cycle begins with a fresh reset anyway, but PLR replay
             # needs real dones to resample immediately).
             n = done.shape[0]
+            reset_keys = (jax.random.split(r_reset, n) if reset_needs_rng
+                          else jnp.zeros((n, 2), jnp.uint32))
             reset_state, reset_obs, reset_seed = v_reset(
-                jax.random.split(r_reset, n), env_state, carry.level_seeds)
+                reset_keys, env_state, carry.level_seeds)
 
             def sel(new, old):
                 m = real_done.reshape((n,) + (1,) * (new.ndim - 1))

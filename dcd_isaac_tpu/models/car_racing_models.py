@@ -12,7 +12,7 @@ Beta(x, y, skip) heads (+ optional PopArt critic) (:168-530).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,7 @@ class CarRacingNetwork(nn.Module):
     # action bounds: steer [-1, 1], gas [0, 1], brake [0, 1]
     action_low: Tuple[float, ...] = (-1.0, 0.0, 0.0)
     action_high: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    dtype: Any = jnp.float32    # compute dtype (--bf16); params stay f32
 
     dist_type = 'beta'
     recurrent_arch = None
@@ -48,7 +49,7 @@ class CarRacingNetwork(nn.Module):
     def setup(self):
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding='VALID',
-            kernel_init=xavier_uniform(),
+            kernel_init=xavier_uniform(), dtype=self.dtype,
             bias_init=nn.initializers.constant(0.1), name=name)
         if self.crop:
             specs = [(8, 2, 2), (16, 2, 2), (32, 2, 2), (64, 2, 2),
@@ -59,18 +60,23 @@ class CarRacingNetwork(nn.Module):
         self.convs = [conv(f, k, s, f'conv{i}')
                       for i, (f, k, s) in enumerate(specs)]
         self.actor_fc = nn.Dense(
-            self.hidden_size, kernel_init=ortho(relu_gain), bias_init=zeros)
+            self.hidden_size, kernel_init=ortho(relu_gain), bias_init=zeros,
+            dtype=self.dtype)
         self.fc_alpha = nn.Dense(
-            self.action_dim, kernel_init=ortho(relu_gain), bias_init=zeros)
+            self.action_dim, kernel_init=ortho(relu_gain), bias_init=zeros,
+            dtype=self.dtype)
         self.fc_beta = nn.Dense(
-            self.action_dim, kernel_init=ortho(relu_gain), bias_init=zeros)
+            self.action_dim, kernel_init=ortho(relu_gain), bias_init=zeros,
+            dtype=self.dtype)
         self.critic_fc = nn.Dense(
-            self.hidden_size, kernel_init=ortho(relu_gain), bias_init=zeros)
+            self.hidden_size, kernel_init=ortho(relu_gain), bias_init=zeros,
+            dtype=self.dtype)
         self.critic_head = nn.Dense(
-            1, kernel_init=ortho(1.0), bias_init=zeros, name='critic_head')
+            1, kernel_init=ortho(1.0), bias_init=zeros, dtype=self.dtype,
+            name='critic_head')
 
     def _embed(self, obs):
-        x = obs  # already float32 in [-1, 1] (wrapper preprocessing)
+        x = obs.astype(self.dtype)  # in [-1, 1] (wrapper preprocessing)
         for c in self.convs:
             x = nn.relu(c(x))
         return x.reshape(*x.shape[:-3], -1)
@@ -78,10 +84,12 @@ class CarRacingNetwork(nn.Module):
     def __call__(self, obs, carry, mask):
         x = self._embed(obs)
         ha = nn.relu(self.actor_fc(x))
-        alpha = 1.0 + nn.softplus(self.fc_alpha(ha))
-        beta = 1.0 + nn.softplus(self.fc_beta(ha))
+        # Beta params and value in float32 (sampling/losses full-precision)
+        alpha = 1.0 + nn.softplus(
+            self.fc_alpha(ha).astype(jnp.float32))
+        beta = 1.0 + nn.softplus(self.fc_beta(ha).astype(jnp.float32))
         hc = nn.relu(self.critic_fc(x))
-        value = self.critic_head(hc).squeeze(-1)
+        value = self.critic_head(hc).squeeze(-1).astype(jnp.float32)
         return {'alpha': alpha, 'beta': beta}, value, carry
 
     def sequence(self, obs, carry, masks):
@@ -324,4 +332,5 @@ def make_carracing_model(args, env, agent_type: str):
             num_goal_bins=getattr(args, 'num_goal_bins', 24),
             set_start_pos=args.choose_start_pos,
             n_control_points=args.num_control_points)
-    return CarRacingNetwork(crop=args.crop_frame)
+    dtype = jnp.bfloat16 if getattr(args, 'bf16', False) else jnp.float32
+    return CarRacingNetwork(crop=args.crop_frame, dtype=dtype)

@@ -17,7 +17,7 @@ straight from the env engine without a host-side wrapper stage.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ class MultigridNetwork(nn.Module):
     recurrent_hidden_size: int = 256
     actor_fc_layers: Sequence[int] = (32, 32)
     value_fc_layers: Sequence[int] = (32, 32)
+    dtype: Any = jnp.float32    # compute dtype (--bf16); params stay f32
 
     dist_type = 'categorical'
 
@@ -44,19 +45,24 @@ class MultigridNetwork(nn.Module):
         self.conv = nn.Conv(
             self.conv_filters, (self.conv_kernel, self.conv_kernel),
             padding='VALID', kernel_init=xavier_uniform(), bias_init=zeros,
-            name='image_conv',
+            dtype=self.dtype, name='image_conv',
         )
-        self.scalar_embed = nn.Dense(self.scalar_fc, name='scalar_embed')
-        self.core = RNNCore(self.recurrent_hidden_size, self.recurrent_arch)
+        self.scalar_embed = nn.Dense(
+            self.scalar_fc, dtype=self.dtype, name='scalar_embed')
+        self.core = RNNCore(self.recurrent_hidden_size, self.recurrent_arch,
+                            dtype=self.dtype)
         self.actor_trunk = mlp(
-            (self.recurrent_hidden_size, *self.actor_fc_layers), 'actor_fc')
+            (self.recurrent_hidden_size, *self.actor_fc_layers), 'actor_fc',
+            dtype=self.dtype)
         self.actor_head = nn.Dense(
             self.num_actions, kernel_init=ortho(0.01), bias_init=zeros,
-            name='actor_head')
+            dtype=self.dtype, name='actor_head')
         self.critic_trunk = mlp(
-            (self.recurrent_hidden_size, *self.value_fc_layers), 'critic_fc')
+            (self.recurrent_hidden_size, *self.value_fc_layers), 'critic_fc',
+            dtype=self.dtype)
         self.critic_head = nn.Dense(
-            1, kernel_init=ortho(1.0), bias_init=zeros, name='critic_head')
+            1, kernel_init=ortho(1.0), bias_init=zeros, dtype=self.dtype,
+            name='critic_head')
 
     @property
     def is_recurrent(self) -> bool:
@@ -67,7 +73,7 @@ class MultigridNetwork(nn.Module):
             self.recurrent_arch, self.recurrent_hidden_size, batch_dims)
 
     def _embed(self, obs: dict) -> jnp.ndarray:
-        img = obs['image'].astype(jnp.float32) / 10.0
+        img = obs['image'].astype(self.dtype) / 10.0
         x = self.conv(img)
         x = x.reshape(*x.shape[:-3], -1)
         x = nn.relu(x)
@@ -75,15 +81,18 @@ class MultigridNetwork(nn.Module):
         parts = [x]
         if scalar is not None and self.scalar_dim:
             onehot = jax.nn.one_hot(
-                scalar.astype(jnp.int32), self.scalar_dim)
+                scalar.astype(jnp.int32), self.scalar_dim, dtype=self.dtype)
             parts.append(self.scalar_embed(onehot))
         if self.random_z_dim:
-            parts.append(obs['random_z'])
+            parts.append(obs['random_z'].astype(self.dtype))
         return jnp.concatenate(parts, axis=-1)
 
     def _heads(self, core: jnp.ndarray):
-        logits = self.actor_head(self.actor_trunk(core))
-        value = self.critic_head(self.critic_trunk(core)).squeeze(-1)
+        # heads return float32 regardless of compute dtype (losses, action
+        # sampling and GAE stay full-precision)
+        logits = self.actor_head(self.actor_trunk(core)).astype(jnp.float32)
+        value = self.critic_head(
+            self.critic_trunk(core)).squeeze(-1).astype(jnp.float32)
         return logits, value
 
     def __call__(self, obs: dict, carry, mask: jnp.ndarray):
@@ -93,20 +102,41 @@ class MultigridNetwork(nn.Module):
         logits, value = self._heads(core)
         return logits, value, carry
 
-    def sequence(self, obs: dict, carry, masks: jnp.ndarray):
-        """(T, B, ...) BPTT forward → (logits_T, values_T, final_carry).
+    def _core_sequence(self, obs: dict, carry, masks: jnp.ndarray):
+        """(T, B, …) obs → (final_carry, (T, B, H) core outputs).
 
-        The conv embed runs inside the time scan with per-step
-        rematerialization: the flattened conv activation (e.g. 13·13·128 =
-        21k dims for the teacher) would otherwise dominate HBM at
-        (T·B, embed) — rematting it bounds residuals to the obs bytes plus
-        the (T, B, hidden) carries.
+        LSTM: the input projection is hoisted out of the time scan — the
+        embed + x@W_in runs as a few giant checkpointed chunk matmuls over
+        (chunk·B) (never materializing the full (T·B, embed) activation;
+        e.g. 13·13·128 = 21k dims for the teacher), and the scan body
+        reduces to the (H, 4H) recurrence.  GRU keeps the per-step remat
+        scan.
         """
-        if not self.is_recurrent:
-            x = self._embed(obs)
-            carry, core = self.core.sequence(carry, x, masks)
-            logits, value = self._heads(core)
-            return logits, value, carry
+        T = masks.shape[0]
+        if self.recurrent_arch == 'lstm':
+            Wi = self.core.lstm_input_kernel()
+
+            # chunk size: largest divisor of T bounding the transient
+            # (chunk·B·embed_dim) activation to ~0.5 GB
+            img_shape = obs['image'].shape
+            B = img_shape[1]
+            embed_dim = ((img_shape[-3] - self.conv_kernel + 1)
+                         * (img_shape[-2] - self.conv_kernel + 1)
+                         * self.conv_filters)
+            budget = int(5e8 // max(B * embed_dim * 4, 1)) or 1
+            chunk = 1
+            for c in range(1, T + 1):
+                if T % c == 0 and c <= budget:
+                    chunk = c
+
+            def zx_chunk(o):
+                return self._embed(o) @ Wi
+
+            obs_c = jax.tree.map(
+                lambda a: a.reshape(T // chunk, chunk, *a.shape[1:]), obs)
+            zx = jax.lax.map(jax.checkpoint(zx_chunk), obs_c)
+            zx = zx.reshape(T, B, -1)
+            return self.core.sequence_zx(carry, zx, masks)
 
         def body(mdl, carry, inp):
             o, m = inp
@@ -119,7 +149,16 @@ class MultigridNetwork(nn.Module):
             variable_broadcast='params',
             split_rngs={'params': False},
             in_axes=0, out_axes=0)
-        carry, core = scan(self, carry, (obs, masks))
+        return scan(self, carry, (obs, masks))
+
+    def sequence(self, obs: dict, carry, masks: jnp.ndarray):
+        """(T, B, ...) BPTT forward → (logits_T, values_T, final_carry)."""
+        if not self.is_recurrent:
+            x = self._embed(obs)
+            carry, core = self.core.sequence(carry, x, masks)
+            logits, value = self._heads(core)
+            return logits, value, carry
+        carry, core = self._core_sequence(obs, carry, masks)
         logits, value = self._heads(core)
         return logits, value, carry
 
@@ -155,14 +194,14 @@ class MultigridGlobalCriticNetwork(MultigridNetwork):
         self.global_conv1 = nn.Conv(
             8, (2, 2), strides=(2, 2), padding='VALID',
             kernel_init=xavier_uniform(), bias_init=zeros,
-            name='global_conv1')
+            dtype=self.dtype, name='global_conv1')
         self.global_conv2 = nn.Conv(
             16, (3, 3), strides=(1, 1), padding='VALID',
             kernel_init=xavier_uniform(), bias_init=zeros,
-            name='global_conv2')
+            dtype=self.dtype, name='global_conv2')
 
     def _global_embed(self, obs):
-        g = obs['full_obs'].astype(jnp.float32) / 10.0
+        g = obs['full_obs'].astype(self.dtype) / 10.0
         x = self.global_conv2(self.global_conv1(g))
         return x.reshape(*x.shape[:-3], -1)
 
@@ -178,13 +217,14 @@ class MultigridGlobalCriticNetwork(MultigridNetwork):
         return super()._embed(obs)
 
     def _heads_with_obs(self, core, obs):
-        logits = self.actor_head(self.actor_trunk(core))
+        logits = self.actor_head(self.actor_trunk(core)).astype(jnp.float32)
         if self.use_global_policy:
             critic_in = core
         else:
             critic_in = jnp.concatenate(
                 [self._global_embed(obs), core], axis=-1)
-        value = self.critic_head(self.critic_trunk(critic_in)).squeeze(-1)
+        value = self.critic_head(
+            self.critic_trunk(critic_in)).squeeze(-1).astype(jnp.float32)
         return logits, value
 
     def __call__(self, obs, carry, mask):
@@ -199,18 +239,6 @@ class MultigridGlobalCriticNetwork(MultigridNetwork):
             carry, core = self.core.sequence(carry, x, masks)
             logits, value = self._heads_with_obs(core, obs)
             return logits, value, carry
-
-        def body(mdl, carry, inp):
-            o, m = inp
-            x = mdl._embed(o)
-            carry, h = mdl.core(carry, x, m)
-            return carry, h
-
-        scan = nn.scan(
-            nn.remat(body, prevent_cse=False),
-            variable_broadcast='params',
-            split_rngs={'params': False},
-            in_axes=0, out_axes=0)
-        carry, core = scan(self, carry, (obs, masks))
+        carry, core = self._core_sequence(obs, carry, masks)
         logits, value = self._heads_with_obs(core, obs)
         return logits, value, carry

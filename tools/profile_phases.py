@@ -99,6 +99,17 @@ def main():
 
     t_update = timeit(update, state.agent, steps, returns, rng)
 
+    # --- teacher PPO update (regret-replaced rewards) ------------------------
+    t_ret = gae(t_ro, t_nv)
+
+    @jax.jit
+    def teacher_update(teacher_state, t_ro, t_ret, rng):
+        return runner.update_teacher(
+            teacher_state, t_ro, t_ret,
+            models['adversary_env'].initial_carry((N,)), rng, False)
+
+    t_tupd = timeit(teacher_update, state.adversary_env, t_ro, t_ret, rng)
+
     # --- full cycle --------------------------------------------------------
     runner.run()
     runner.run()
@@ -107,9 +118,10 @@ def main():
     jax.block_until_ready(runner.state.agent.params)
     t_cycle = time.perf_counter() - t0
 
-    total_attr = t_teacher + 2 * (t_rollout + t_gae + t_update)
+    total_attr = t_teacher + t_tupd + 2 * (t_rollout + t_gae + t_update)
     print(f'N={N} T={T} backend={jax.devices()[0].platform}')
     print(f'teacher scan        : {t_teacher*1e3:9.1f} ms')
+    print(f'teacher PPO update  : {t_tupd*1e3:9.1f} ms')
     print(f'student rollout     : {t_rollout*1e3:9.1f} ms  (x2 agents)')
     print(f'GAE                 : {t_gae*1e3:9.1f} ms  (x2)')
     print(f'PPO update (5 ep)   : {t_update*1e3:9.1f} ms  (x2)')
