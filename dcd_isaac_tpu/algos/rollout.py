@@ -104,6 +104,15 @@ def make_student_rollout(
         return action, value, log_prob, log_dist, rnn_carry
 
     def rollout(params, carry: StepCarry):
+        # Same-level auto-reset: the post-reset state/obs is EXACTLY the
+        # rollout's initial state (reset_agent is deterministic given the
+        # level, which _ro_same never changes) — so finished slots select
+        # against these constants instead of recomputing reset_agent +
+        # gen_obs every step.
+        if not reset_needs_rng:
+            init_state, init_obs, init_seeds = (
+                carry.env_state, carry.obs, carry.level_seeds)
+
         def scan_step(carry: StepCarry, t):
             rng, r_act, r_env, r_reset = jax.random.split(carry.rng, 4)
             action, value, log_prob, log_dist, rnn_carry = policy_step(
@@ -169,10 +178,13 @@ def make_student_rollout(
             # the next cycle begins with a fresh reset anyway, but PLR replay
             # needs real dones to resample immediately).
             n = done.shape[0]
-            reset_keys = (jax.random.split(r_reset, n) if reset_needs_rng
-                          else jnp.zeros((n, 2), jnp.uint32))
-            reset_state, reset_obs, reset_seed = v_reset(
-                reset_keys, env_state, carry.level_seeds)
+            if reset_needs_rng:
+                reset_state, reset_obs, reset_seed = v_reset(
+                    jax.random.split(r_reset, n), env_state,
+                    carry.level_seeds)
+            else:
+                reset_state, reset_obs, reset_seed = (
+                    init_state, init_obs, init_seeds)
 
             def sel(new, old):
                 m = real_done.reshape((n,) + (1,) * (new.ndim - 1))
