@@ -113,16 +113,20 @@ class MultigridNetwork(nn.Module):
         scan.
         """
         T = masks.shape[0]
-        if self.recurrent_arch == 'lstm':
+        img_shape = obs['image'].shape
+        embed_dim = ((img_shape[-3] - self.conv_kernel + 1)
+                     * (img_shape[-2] - self.conv_kernel + 1)
+                     * self.conv_filters)
+        # Hoist the input projection only when the embedding is wide enough
+        # that per-step x@W_in matmuls dominate (the 21k-dim teacher); for
+        # narrow embeds (student, 149-dim) the per-step remat scan is
+        # cheaper than materializing the (T, B, 4H) zx residual.
+        if self.recurrent_arch == 'lstm' and embed_dim >= 4096:
             Wi = self.core.lstm_input_kernel()
 
             # chunk size: largest divisor of T bounding the transient
             # (chunk·B·embed_dim) activation to ~0.5 GB
-            img_shape = obs['image'].shape
             B = img_shape[1]
-            embed_dim = ((img_shape[-3] - self.conv_kernel + 1)
-                         * (img_shape[-2] - self.conv_kernel + 1)
-                         * self.conv_filters)
             budget = int(5e8 // max(B * embed_dim * 4, 1)) or 1
             chunk = 1
             for c in range(1, T + 1):
