@@ -159,8 +159,7 @@ class AdversarialRunner:
         self.teacher_random = self.is_dr  # DR = uniform-random adversary
         self.teacher_rollout_fn = make_adversary_rollout(
             env, models['adversary_env'], env.adversary_rollout_steps,
-            random_agent=self.teacher_random) if (
-                self.is_training_env or False) else None
+            random_agent=self.teacher_random) if self.is_training_env else None
 
         # student rollout programs (per auto-reset behavior)
         self._ro_same = make_student_rollout(env, models['agent'], ro_cfg)
@@ -934,6 +933,9 @@ class AdversarialRunner:
                 float(np.mean(self.adversary_agent_returns))
                 if self.adversary_agent_returns else 0.0)
         host.update({
+            # Deviation (PARITY.md #9): ACCEL edit-scoring rollouts are
+            # counted as real N*T env steps; the reference's step budget
+            # (train.py:160) counts update cycles only.
             'steps': ((self.num_updates + self.total_num_edits)
                       * args.num_processes * args.num_steps),
             'total_episodes': self.total_episodes_collected,

@@ -126,14 +126,13 @@ def main(argv=None):
             stats['sps'] = sps
             stats['total_updates'] = j + 1
             filewriter.log(stats)
-            if args.verbose or True:
-                msg = (f"u{j + 1}/{num_updates} sps={sps:.0f} "
-                       f"ret={stats.get('mean_agent_return', 0):.3f}")
-                if 'solved_rate:' + (test_env_names[0] if test_env_names
-                                     else '') in stats:
-                    msg += (f" solve0="
-                            f"{stats['solved_rate:' + test_env_names[0]]:.2f}")
-                print(msg, flush=True)
+            msg = (f"u{j + 1}/{num_updates} sps={sps:.0f} "
+                   f"ret={stats.get('mean_agent_return', 0):.3f}")
+            if 'solved_rate:' + (test_env_names[0] if test_env_names
+                                 else '') in stats:
+                msg += (f" solve0="
+                        f"{stats['solved_rate:' + test_env_names[0]]:.2f}")
+            print(msg, flush=True)
 
         if args.use_plr and args.weight_log_interval > 0 and \
                 j % args.weight_log_interval == 0:

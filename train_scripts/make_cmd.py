@@ -14,6 +14,18 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _argparse_defaults():
+    """Fill unlisted grid keys from the real CLI defaults, mirroring the
+    reference's hand-maintained defaults dict (make_cmd.py:187-244) without
+    a second copy that can drift from arguments.py."""
+    from dcd_isaac_tpu.arguments import parser as train_parser
+    return {a.dest: a.default for a in train_parser._actions
+            if a.dest != 'help'}
 
 
 def generate_all_params_for_grid(grid, defaults=None):
@@ -91,7 +103,11 @@ def generate_train_cmds(params, num_trials=1, start_index=0, newlines=False,
     separator = ' \\\n' if newlines else ' '
     cmds = []
     if xpid_generator:
-        params['xpid'] = xpid_generator(params, xpid_prefix)
+        # xpid naming needs values for flags the grid may not pin; fill
+        # those from the CLI defaults (naming only — the emitted command
+        # keeps just the grid's own keys, letting argparse supply the rest).
+        params['xpid'] = xpid_generator(
+            {**_argparse_defaults(), **params}, xpid_prefix)
     start_seed = params.get('seed', 1)
     for t in range(num_trials):
         params['seed'] = start_seed + t + start_index
