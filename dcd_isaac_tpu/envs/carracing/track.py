@@ -52,7 +52,6 @@ def build_track(curve: jnp.ndarray, valid=None) -> Track:
     P = curve.shape[0]
     if valid is None:
         valid = jnp.ones((P,), bool)
-    n = valid.sum()
 
     # consecutive segment angles (wrap via roll on valid range is
     # approximated by the padded roll — padding repeats the last point)
@@ -60,6 +59,16 @@ def build_track(curve: jnp.ndarray, valid=None) -> Track:
     d = nxt - curve
     alpha = jnp.arctan2(d[:, 1], d[:, 0])
     beta = jnp.pi / 2 + alpha
+
+    # The reference skips zero-length steps when building track entries
+    # (car_racing_bezier.py:311-318 `if dx == dy == 0: continue`, plus the
+    # closing duplicate excluded by `points[:-1]`).  Bézier segment
+    # endpoints coincide exactly with the next segment's start, so a
+    # 12-segment × 40-point curve yields 468 tiles, not 480; counting the
+    # duplicates would inflate tile_visited_count and shrink the 1000/N
+    # per-tile reward.
+    valid = valid & ~(d == 0).all(-1)
+    n = valid.sum()
 
     # center offset from bbox of valid points
     big = 1e9
