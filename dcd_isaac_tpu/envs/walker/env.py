@@ -95,6 +95,20 @@ def reset_walker(level_params: jnp.ndarray, level_seed: jnp.ndarray,
     rng = jax.random.PRNGKey(level_seed.astype(jnp.uint32))
     r_terrain, r_place = jax.random.split(rng)
     terrain = generate_terrain(level_params, r_terrain)
+    return _reset_with_terrain(terrain, level_params, level_seed, r_place)
+
+
+def reset_walker_from_terrain(terrain: ph.Terrain,
+                              level_seed: jnp.ndarray) -> WalkerState:
+    """Place the walker on an externally built terrain (genuine gym
+    BipedalWalker-v3/Hardcore-v3 eval levels, gym_terrain.py)."""
+    rng = jax.random.PRNGKey(level_seed.astype(jnp.uint32))
+    _, r_place = jax.random.split(rng)
+    return _reset_with_terrain(
+        terrain, jnp.zeros(8), level_seed, r_place)
+
+
+def _reset_with_terrain(terrain, level_params, level_seed, r_place):
     bodies = place_walker(r_place)
     state = WalkerState(
         bodies=bodies,

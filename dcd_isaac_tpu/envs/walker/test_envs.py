@@ -6,10 +6,10 @@ generator (the generator already maps the vector through the same EnvConfig
 semantics).  Seeds vary per episode, like the reference's time-based
 reseeding on every reset.
 
-BipedalWalker-v3 / Hardcore-v3 are the standard gym envs; they are
-approximated by parameter vectors producing the same terrain feature
-distributions (roughness 1; hardcore ≈ stumps 1-3, pits 2-4, stairs 1
-height × up to 5 steps).
+BipedalWalker-v3 / Hardcore-v3 are the standard gym envs and are NOT in
+this table: they use the exact gym terrain state machine (gym_terrain.py
++ gym_env.py), matching the distribution the published solved-rate
+baselines were measured on.
 """
 
 from __future__ import annotations
@@ -20,8 +20,6 @@ import numpy as np
 
 # [roughness, pit_lo, pit_hi, stump_lo, stump_hi, stair_lo, stair_hi, steps]
 WALKER_TEST_PARAMS: Dict[str, List[float]] = {
-    'BipedalWalker-v3': [1, 0, 0, 0, 0, 0, 0, 0],
-    'BipedalWalkerHardcore-v3': [1, 2, 4, 1, 3, 1, 1, 5],
     'BipedalWalker-Default-v0': [0, 0, 0, 0, 0, 0, 0, 0],
     'BipedalWalker-Med-Stumps-v0': [0, 0, 0, 2, 2, 0, 0, 0],
     'BipedalWalker-Med-StumpHeight-v0': [0, 0, 0, 2, 2, 0, 0, 0],

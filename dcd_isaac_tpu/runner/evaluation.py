@@ -59,6 +59,14 @@ class Evaluator:
 
     def _build_env(self, name: str):
         """→ (env, T, build_levels(np_rng, n) -> levels array)."""
+        if name in ('BipedalWalker-v3', 'BipedalWalkerHardcore-v3'):
+            # genuine gym terrain (reference eval.py:354-363 evaluates on
+            # the real gym envs, not POET-parameterized approximations)
+            from ..envs.walker.gym_env import GymWalkerEnv, build_gym_levels
+            hardcore = 'Hardcore' in name
+            env = GymWalkerEnv(hardcore)
+            return env, env.max_steps, (
+                lambda rng, n: build_gym_levels(hardcore, rng, n))
         if name in WALKER_TEST_PARAMS:
             env = AdversarialWalker(WalkerParams())
             return env, env.params.max_steps, (
