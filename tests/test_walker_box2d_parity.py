@@ -28,7 +28,10 @@ from dcd_isaac_tpu.envs.walker.env import (
 FIXTURE = os.path.join(
     os.path.dirname(__file__), 'fixtures', 'walker_box2d_traces.npz')
 TRACES = ['flat_stand', 'flat_gait', 'flat_random',
-          'rough_stand', 'rough_gait']
+          'rough_stand', 'rough_gait',
+          # box-contact traces: step/wall obstacles in the walker's path
+          # (obstacle-box contact path, VERDICT r2 item 5)
+          'box_step_gait', 'box_step_random', 'box_wall_stand']
 
 
 @pytest.fixture(scope='module')
@@ -40,9 +43,12 @@ def replay(data, name, extra_steps=120):
     """Run the JAX solver from the recorded Box2D initial state."""
     g = lambda k: data[f'{name}/{k}']
     init = g('init_bodies')    # (5, 8): px,py,wcx,wcy,angle,vx,vy,w
+    rb = g('boxes') if f'{name}/boxes' in data.files else np.zeros((0, 4))
+    boxes = np.zeros((ph.MAX_BOXES, 4))
+    boxes[:len(rb)] = rb
     terrain = ph.Terrain(
         xs=jnp.asarray(g('terrain_x')), ys=jnp.asarray(g('terrain_y')),
-        boxes=jnp.zeros((ph.MAX_BOXES, 4)), n_boxes=jnp.int32(0))
+        boxes=jnp.asarray(boxes), n_boxes=jnp.int32(len(rb)))
     bodies = ph.Bodies(
         pos=jnp.asarray(init[:, 2:4]),       # worldCenter == centroid
         angle=jnp.asarray(init[:, 4]),
@@ -83,24 +89,34 @@ class TestHullTrajectory:
         dx10 = np.abs(hull_xy[:K10, 0] - ref[:K10, 0]).max()
         dx30 = np.abs(hull_xy[:K30, 0] - ref[:K30, 0]).max()
         dy30 = np.abs(hull_xy[:K30, 1] - ref[:K30, 1]).max()
-        # measured: dx10 ≤ 0.032, dx30 ≤ 0.20, dy30 ≤ 0.38 (PARITY_WALKER.md)
-        assert dx10 < 0.06, dx10
-        assert dx30 < 0.35, dx30
-        assert dy30 < 0.6, dy30
+        # measured: dx10 ≤ 0.057, dx30 ≤ 0.21, dy30 ≤ 0.38 over all 8
+        # traces (bounds ~1.2x measured; VERDICT r2 item 5 tightening)
+        assert dx10 < 0.07, dx10
+        assert dx30 < 0.25, dx30
+        assert dy30 < 0.45, dy30
 
     @pytest.mark.parametrize('name', TRACES)
     def test_fall_timing_envelope(self, data, name):
-        """Episode termination must occur, within ±45% of the Box2D step."""
+        """Episode termination must occur, within ±35% of the Box2D step
+        (measured worst 32%, flat/rough passive collapse).
+
+        Exception: box_step_random — random flailing against an obstacle
+        box is the most contact-chaotic trace (Box2D position-solver
+        teleports dominate); measured +51%, bounded at ±60%.
+        """
         _, _, fall = replay(data, name)
         ref_T = len(data[f'{name}/actions'])
         ref_done = bool(data[f'{name}/dones'][-1])
         assert ref_done
         assert fall is not None, 'JAX walker never terminated'
-        assert abs(fall - ref_T) <= max(0.45 * ref_T, 8), (fall, ref_T)
+        frac = 0.60 if name == 'box_step_random' else 0.35
+        assert abs(fall - ref_T) <= max(frac * ref_T, 8), (fall, ref_T)
 
 
 class TestJointTracking:
-    @pytest.mark.parametrize('name', ['flat_gait', 'flat_random'])
+    @pytest.mark.parametrize('name', [
+        'flat_gait', 'flat_random', 'rough_gait',
+        'box_step_gait', 'box_wall_stand'])
     def test_joint_angle_correlation(self, data, name):
         """Driven joint trajectories correlate with Box2D over the episode.
 
@@ -108,8 +124,11 @@ class TestJointTracking:
         solver teleports bodies on deep contact (observed per-step joint
         jumps of 0.6 rad, >5x the motor speed limit), which the Baumgarte
         solver spreads over several steps.  Correlation + RMSE pin the
-        behavioral envelope instead (measured: corr 0.72–0.98,
-        RMSE 0.09–0.33 rad — PARITY_WALKER.md).
+        behavioral envelope instead (measured: min corr 0.72, RMSE
+        0.09–0.33 rad over the driven traces incl. box contacts —
+        PARITY_WALKER.md).  Stand traces and box_step_random are
+        excluded: near-constant or post-divergence joint signals make
+        correlation meaningless there.
         """
         _, ja, _ = replay(data, name)
         ref = data[f'{name}/joints'][:, :4]
@@ -118,9 +137,9 @@ class TestJointTracking:
         for j in range(4):
             corrs.append(np.corrcoef(ja[:K, j], ref[:K, j])[0, 1])
             rmses.append(np.sqrt(((ja[:K, j] - ref[:K, j]) ** 2).mean()))
-        assert min(corrs) > 0.55, corrs
+        assert min(corrs) > 0.70, corrs
         assert np.mean(corrs) > 0.85, corrs
-        assert max(rmses) < 0.45, rmses
+        assert max(rmses) < 0.40, rmses
 
 
 class TestGroundInteraction:

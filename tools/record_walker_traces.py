@@ -73,9 +73,23 @@ def _body_state(body):
     ])
 
 
-def record_trace(mod, config, seed, actions):
-    env = mod.BipedalWalkerCustom(config)
+def record_trace(mod, config, seed, actions, ctor_config=None,
+                 extra_boxes=()):
+    # construct with an obstacle-free config: the constructor's unseeded
+    # _reset_env crashes on stump configs (walker_env.py:326 env_seed None);
+    # re_init regenerates everything from (config, seed) anyway.
+    env = mod.BipedalWalkerCustom(ctor_config or config)
     env.re_init(config, seed)
+    # optional hand-placed obstacle boxes in the walker's immediate path:
+    # the state-machine obstacles start past x~9 and scripted walkers fall
+    # by x~5.5, so box contacts are exercised by planting boxes at start
+    # (identical AABBs are replayed through the JAX solver).
+    for (x0, y0, x1, y1) in extra_boxes:
+        env.fd_polygon.shape.vertices = [
+            (x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        t = env.world.CreateStaticBody(fixtures=env.fd_polygon)
+        t.color1, t.color2 = (1, 1, 1), (0.6, 0.6, 0.6)
+        env.terrain.append(t)
     # re_init ran _reset_env, which takes one zero-action step (the initial
     # random hull force is already integrated). Record the post-reset state.
     bodies = [env.hull, env.legs[0], env.legs[1], env.legs[2], env.legs[3]]
@@ -83,6 +97,18 @@ def record_trace(mod, config, seed, actions):
     terrain_x = np.array(env.terrain_x)
     terrain_y = np.array(env.terrain_y)
     prev_shaping = env.prev_shaping
+    # obstacle fixtures (stumps/stair treads/pit walls): 4-vertex polygon
+    # static bodies; ground strips are edge fixtures (2 verts)
+    boxes = []
+    for body in env.terrain:
+        for fix in body.fixtures:
+            verts = getattr(fix.shape, 'vertices', [])
+            if len(verts) == 4:
+                w = [body.transform * v for v in verts]
+                xs_ = [p[0] for p in w]
+                ys_ = [p[1] for p in w]
+                boxes.append((min(xs_), min(ys_), max(xs_), max(ys_)))
+    boxes = np.array(sorted(boxes), np.float64).reshape(-1, 4)
 
     T = len(actions)
     hull = np.zeros((T, 8))
@@ -104,6 +130,7 @@ def record_trace(mod, config, seed, actions):
             break
     return {
         'terrain_x': terrain_x, 'terrain_y': terrain_y,
+        'boxes': boxes,
         'init_bodies': init, 'prev_shaping': np.float64(prev_shaping),
         'actions': np.asarray(actions, np.float64)[:n],
         'hull': hull[:n], 'obs': obs[:n], 'joints': joints[:n],
@@ -121,6 +148,20 @@ def main():
         name='rough', ground_roughness=0.6,
         pit_gap=[], stump_width=[], stump_height=[], stump_float=[],
         stair_height=[], stair_width=[], stair_steps=[])
+    # obstacle configs: exercise the box-contact path (VERDICT r2 item 5)
+    stumps = mod.EnvConfig(
+        name='stumps', ground_roughness=0,
+        pit_gap=[], stump_width=[1, 2], stump_height=[1, 2],
+        stump_float=[0, 1],
+        stair_height=[], stair_width=[], stair_steps=[])
+    stairs = mod.EnvConfig(
+        name='stairs', ground_roughness=0,
+        pit_gap=[], stump_width=[], stump_height=[], stump_float=[],
+        stair_height=[1, 2], stair_width=[4, 5], stair_steps=[3, 5])
+    pits = mod.EnvConfig(
+        name='pits', ground_roughness=0,
+        pit_gap=[2, 3], stump_width=[], stump_height=[], stump_float=[],
+        stair_height=[], stair_width=[], stair_steps=[])
 
     T = 250
     t = np.arange(T)
@@ -137,6 +178,17 @@ def main():
         'flat_random': record_trace(mod, flat, 11, random_acts),
         'rough_stand': record_trace(mod, rough, 13, stand),
         'rough_gait': record_trace(mod, rough, 13, gait),
+        # box-contact traces: knee-height step + hull-height wall ahead
+        # (TERRAIN_HEIGHT=3.33, walker starts at x~4.67)
+        'box_step_gait': record_trace(
+            mod, flat, 17, gait,
+            extra_boxes=[(5.2, 3.0, 6.0, 3.8)]),
+        'box_step_random': record_trace(
+            mod, flat, 19, random_acts,
+            extra_boxes=[(5.1, 3.0, 5.9, 3.75)]),
+        'box_wall_stand': record_trace(
+            mod, flat, 23, stand,
+            extra_boxes=[(5.15, 3.0, 5.55, 4.6)]),
     }
 
     flat_data = {}
