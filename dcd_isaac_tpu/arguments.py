@@ -132,6 +132,11 @@ _FLAGS = [
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()
+    # explicit jax.distributed coordinates (pod-slice launchers usually
+    # set these via env; the 2-process CPU test passes them explicitly)
+    ('coordinator_address', str, ''),
+    ('num_hosts', int, 0),
+    ('host_idx', int, -1),
     ('debug_nans', str2bool, False),    # dev-mode NaN checking (SURVEY §5.2)
 ]
 

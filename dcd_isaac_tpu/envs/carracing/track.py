@@ -11,6 +11,7 @@ inside the training loop on device.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
@@ -25,9 +26,9 @@ ZOOM = 2.7
 TRACK_WIDTH = 40 / SCALE
 BORDER = 8 / SCALE
 BORDER_MIN_COUNT = 4
-ROAD_COLOR = jnp.array([0.4, 0.4, 0.4])
-GRASS_BASE = jnp.array([0.4, 0.8, 0.4])
-GRASS_PATCH = jnp.array([0.4, 0.9, 0.4])
+ROAD_COLOR = np.array([0.4, 0.4, 0.4], np.float32)
+GRASS_BASE = np.array([0.4, 0.8, 0.4], np.float32)
+GRASS_PATCH = np.array([0.4, 0.9, 0.4], np.float32)
 
 
 @struct.dataclass

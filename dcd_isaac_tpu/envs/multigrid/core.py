@@ -162,7 +162,7 @@ def encode_grid(state: MultiGridState) -> jnp.ndarray:
     (type, color, state); the agent encodes as (AGENT, agent_id=0, dir).
     """
     types = state.grid
-    colors = TYPE_COLOR[types.astype(jnp.int32)]
+    colors = jnp.asarray(TYPE_COLOR)[types.astype(jnp.int32)]
     states = jnp.zeros_like(types)
     enc = jnp.stack([types, colors, states], axis=-1)
     has_agent = state.agent_pos[0] >= 0
@@ -290,7 +290,8 @@ def gen_obs(state: MultiGridState, params: MultiGridParams) -> dict:
         vis = _process_vis(window, v)
 
     types = jnp.where(vis, window, jnp.uint8(UNSEEN))
-    colors = jnp.where(vis, TYPE_COLOR[window.astype(jnp.int32)], jnp.uint8(0))
+    colors = jnp.where(
+        vis, jnp.asarray(TYPE_COLOR)[window.astype(jnp.int32)], jnp.uint8(0))
     img = jnp.stack([types, colors, jnp.zeros_like(types)], axis=-1)
     obs = {'image': img, 'direction': d}
     if params.full_obs:
@@ -318,13 +319,13 @@ def step_agent(
         action == LEFT, (d + 3) % 4, jnp.where(action == RIGHT, (d + 1) % 4, d)
     )
 
-    fwd = state.agent_pos + DIR_TO_VEC[d]
+    fwd = state.agent_pos + jnp.asarray(DIR_TO_VEC)[d]
     fwd_type = state.grid[fwd[0], fwd[1]].astype(jnp.int32)
 
     is_fwd = action == FORWARD
     hit_goal = is_fwd & (fwd_type == GOAL)
     hit_lava = is_fwd & (fwd_type == LAVA)
-    moved = is_fwd & WALKABLE[fwd_type]
+    moved = is_fwd & jnp.asarray(WALKABLE)[fwd_type]
 
     new_pos = jnp.where(moved, fwd, state.agent_pos)
     reward = jnp.where(

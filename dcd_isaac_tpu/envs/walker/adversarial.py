@@ -15,12 +15,13 @@ import dataclasses
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .env import WalkerState, gen_walker_obs, reset_walker, step_walker
 
 # (lo, hi) per design dimension (adversarial.py:54-63)
-PARAM_RANGES_FULL = jnp.array([
+PARAM_RANGES_FULL = np.array([
     [0.0, 10.0],   # ground roughness
     [0.0, 10.0],   # pit gap 1
     [0.0, 10.0],   # pit gap 2
@@ -30,15 +31,15 @@ PARAM_RANGES_FULL = jnp.array([
     [0.0, 5.0],    # stair height 2
     [1.0, 9.0],    # stair steps
 ])
-PARAM_RANGES_EASY = jnp.array([
+PARAM_RANGES_EASY = np.array([
     [0.0, 0.6], [0.0, 0.0], [0.8, 0.8], [0.0, 0.0],
     [0.4, 0.4], [0.0, 0.0], [0.4, 0.4], [1.0, 1.0],
 ])
 # mutation deltas (adversarial.py:66-75): scalar delta or uniform range
-PARAM_MUT_LO = jnp.array([0.0, 0.4, 0.4, 0.2, 0.2, 0.2, 0.2, 1.0])
-PARAM_MUT_HI = jnp.array([0.6, 0.4, 0.4, 0.2, 0.2, 0.2, 0.2, 1.0])
+PARAM_MUT_LO = np.array([0.0, 0.4, 0.4, 0.2, 0.2, 0.2, 0.2, 1.0])
+PARAM_MUT_HI = np.array([0.6, 0.4, 0.4, 0.2, 0.2, 0.2, 0.2, 1.0])
 
-DEFAULT_LEVEL_PARAMS = jnp.array(
+DEFAULT_LEVEL_PARAMS = np.array(
     [0.0, 0.0, 10.0, 0.0, 5.0, 0.0, 5.0, 9.0])
 
 
@@ -93,8 +94,9 @@ class AdversarialWalker:
 
     @property
     def _ranges(self):
-        return (PARAM_RANGES_EASY if self.params.mode == 'easy'
-                else PARAM_RANGES_FULL)
+        return jnp.asarray(
+            PARAM_RANGES_EASY if self.params.mode == 'easy'
+            else PARAM_RANGES_FULL)
 
     # -- helpers -----------------------------------------------------------
     def _poet_mask(self, params: jnp.ndarray) -> jnp.ndarray:
@@ -195,11 +197,13 @@ class AdversarialWalker:
             a = jax.random.randint(r1, (), 0, n_mut)
             d = jax.random.randint(r2, (), 0, 3) - 1
             mag = jax.random.uniform(
-                r3, minval=PARAM_MUT_LO[a], maxval=jnp.maximum(
-                    PARAM_MUT_HI[a], PARAM_MUT_LO[a] + 1e-9))
+                r3, minval=jnp.asarray(PARAM_MUT_LO)[a],
+                maxval=jnp.maximum(jnp.asarray(PARAM_MUT_HI)[a],
+                                   jnp.asarray(PARAM_MUT_LO)[a] + 1e-9))
             new = jnp.clip(
                 params[a] + d.astype(jnp.float32) * mag,
-                PARAM_RANGES_FULL[a, 0], PARAM_RANGES_FULL[a, 1])
+                jnp.asarray(PARAM_RANGES_FULL)[a, 0],
+                jnp.asarray(PARAM_RANGES_FULL)[a, 1])
             return params.at[a].set(new), rng
 
         params, rng = jax.lax.fori_loop(

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,7 +24,7 @@ from .distributions import (
     beta_entropy, beta_log_prob, beta_mode, beta_sample,
 )
 
-relu_gain = jnp.sqrt(2)
+relu_gain = float(np.sqrt(2))
 
 
 class CarRacingNetwork(nn.Module):

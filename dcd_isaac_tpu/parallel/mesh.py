@@ -66,10 +66,15 @@ def place_runner_state(state, mesh: Mesh, num_processes: int,
     """
     N = num_processes
     n = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    multihost = jax.process_count() > 1
 
     def put(x):
         if not hasattr(x, 'ndim'):
             return x
+        if multihost and isinstance(x, jax.Array):
+            # global placement needs a host value identical on all ranks
+            # (state is derived deterministically from the seed, so it is)
+            x = np.asarray(x)
         if x.ndim == 1 and x.shape == (2,) and x.dtype == jnp.uint32:
             # raw PRNG key — always replicated
             return jax.device_put(x, NamedSharding(mesh, P()))

@@ -29,7 +29,13 @@ def main(argv=None):
     # Multi-host pod slice: one SPMD program over DCN-connected hosts
     # (SURVEY.md §5.8). Must run before any device use.
     if args.multihost:
-        jax.distributed.initialize()
+        kw = {}
+        if args.coordinator_address:
+            kw = dict(coordinator_address=args.coordinator_address,
+                      num_processes=args.num_hosts,
+                      process_id=args.host_idx)
+        jax.distributed.initialize(**kw)
+    is_main = jax.process_index() == 0
 
     if args.debug_nans:
         jax.config.update('jax_debug_nans', True)
@@ -54,9 +60,15 @@ def main(argv=None):
         runner.attach_mesh(mesh)
 
     log_dir = os.path.expandvars(os.path.expanduser(args.log_dir))
-    filewriter = FileWriter(
-        xpid=args.xpid, xp_args=vars(args), rootdir=log_dir)
-    checkpoint_path = os.path.join(filewriter.basepath, 'model.tar')
+    # single-writer discipline on pod slices: only process 0 owns the
+    # xpid dir; other hosts run the same SPMD program silently
+    if is_main:
+        filewriter = FileWriter(
+            xpid=args.xpid, xp_args=vars(args), rootdir=log_dir)
+    else:
+        from .utils.filewriter import NullFileWriter
+        filewriter = NullFileWriter()
+    checkpoint_path = os.path.join(log_dir, args.xpid, 'model.tar')
 
     # resume (reference train.py:128-134)
     initial_update = 0
@@ -81,7 +93,7 @@ def main(argv=None):
 
     evaluator = None
     test_env_names = [e for e in args.test_env_names.split(',') if e]
-    if test_env_names and args.test_interval > 0:
+    if test_env_names and args.test_interval > 0 and is_main:
         evaluator = Evaluator(
             test_env_names, num_episodes=args.test_num_episodes)
 
@@ -126,13 +138,14 @@ def main(argv=None):
             stats['sps'] = sps
             stats['total_updates'] = j + 1
             filewriter.log(stats)
-            msg = (f"u{j + 1}/{num_updates} sps={sps:.0f} "
-                   f"ret={stats.get('mean_agent_return', 0):.3f}")
-            if 'solved_rate:' + (test_env_names[0] if test_env_names
-                                 else '') in stats:
-                msg += (f" solve0="
-                        f"{stats['solved_rate:' + test_env_names[0]]:.2f}")
-            print(msg, flush=True)
+            if is_main:
+                msg = (f"u{j + 1}/{num_updates} sps={sps:.0f} "
+                       f"ret={stats.get('mean_agent_return', 0):.3f}")
+                if 'solved_rate:' + (test_env_names[0] if test_env_names
+                                     else '') in stats:
+                    msg += (f" solve0="
+                            f"{stats['solved_rate:' + test_env_names[0]]:.2f}")
+                print(msg, flush=True)
 
         if args.use_plr and args.weight_log_interval > 0 and \
                 j % args.weight_log_interval == 0:
@@ -142,7 +155,7 @@ def main(argv=None):
             filewriter.log_level_weights(
                 w, seeds=np.asarray(runner.state.plr_agent.slot_ids))
 
-        if args.screenshot_interval > 0 and \
+        if args.screenshot_interval > 0 and is_main and \
                 j % args.screenshot_interval == 0 and runner.use_plr:
             import jax.numpy as _jnp
             from .utils.screenshots import save_level_screenshots

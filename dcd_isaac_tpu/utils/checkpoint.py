@@ -19,17 +19,51 @@ import jax
 from flax import serialization
 
 
+def _gather_to_host(runner_state: Any):
+    """Pull the full state to host memory.
+
+    Single-host: plain device_get.  Multi-host (pod slice): sharded
+    leaves are not fully addressable, so each is first re-laid-out fully
+    replicated (an all-gather over DCN executed by EVERY process — call
+    this from all ranks) and the local replica is read.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(runner_state)
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            mesh = x.sharding.mesh
+            rep = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(mesh, PartitionSpec()))(x)
+            return np.asarray(rep)
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree.map(pull, runner_state)
+
+
 def save_checkpoint(path: str, runner_state: Any, host_state: dict):
-    """Atomic write of (pytree bytes, host counters)."""
-    state = jax.device_get(runner_state)
-    payload = {
-        'pytree': serialization.to_bytes(state),
-        'host': host_state,
-    }
-    tmp = path + '.tmp'
-    with open(tmp, 'wb') as f:
-        pickle.dump(payload, f)
-    os.replace(tmp, path)
+    """Atomic write of (pytree bytes, host counters).
+
+    Multi-host: every process must call this (the gather is collective);
+    only process 0 writes the file, and all ranks synchronize after so a
+    subsequent resume never reads a half-written checkpoint.
+    """
+    state = _gather_to_host(runner_state)
+    if jax.process_index() == 0:
+        payload = {
+            'pytree': serialization.to_bytes(state),
+            'host': host_state,
+        }
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('dcd_checkpoint_saved')
 
 
 def load_checkpoint(path: str, template: Any):

@@ -128,3 +128,23 @@ class FileWriter:
         self.metadata['successful'] = True
         self.metadata['date_end'] = datetime.datetime.now().isoformat()
         self._save_metadata()
+
+
+class NullFileWriter:
+    """No-op writer for non-zero ranks on pod slices (single-writer
+    discipline: only process 0 owns the xpid directory)."""
+
+    basepath = ''
+    latest_tick = 0
+
+    def log(self, to_log, tick=None):
+        pass
+
+    def log_level_weights(self, weights, seeds=None):
+        pass
+
+    def log_final_test_eval(self, stats):
+        pass
+
+    def mark_completed(self):
+        pass
