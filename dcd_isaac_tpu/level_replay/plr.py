@@ -20,10 +20,23 @@ Semantic mapping (all formulas preserved):
   * sample weights: score transform × (1-unseen), staleness mixing
     (level_sampler.py:726-785)
 
-Documented deviations (distributional parity per BASELINE.json):
-  * no exact-duplicate dedup of level payloads (reference LevelStore.level2seed)
-  * staged promotion happens once post-rollout instead of at each episode end
-  * staleness increments are applied in one batch per cycle
+Documented deviations (distributional parity per BASELINE.json;
+quantified vs a sequential numpy oracle of the reference algorithm in
+tests/test_plr_distributional_parity.py):
+  * staged promotion happens once post-rollout instead of at each episode
+    end, with eviction priorities computed once per cycle — two staged
+    levels cannot chain-evict each other within a cycle
+  * staleness increments are applied in one batch per cycle; promoted
+    slots start at staleness 0 (reference: sample_count - staging age)
+  * measured: one cycle of the batched variant moves the replay
+    distribution by mean TV 0.0021 (max 0.021) vs the sequential
+    reference on identical episode streams; free-running over 400 cycles
+    the buffers fork through eviction differences and the batched buffer
+    converges to a more elite score floor (mean buffer-score gap ~0.18
+    under a uniform synthetic score stream) while replay mass stays
+    top-score-dominated in both
+  * exact-duplicate levels ARE deduped (content-hash fold,
+    ``promote_staged``), matching reference LevelStore.level2seed
 """
 
 from __future__ import annotations
