@@ -73,6 +73,11 @@ _SLOW = (
     '[goal_first_50]',                                  # heaviest golden traces
     '[dup_cells]',
     '[opaque_25]',
+    'test_carracing_box2d_parity.py::TestTrackGeometry::'
+    'test_road_membership_matches_tile_quads',
+    'test_carracing_box2d_parity.py::TestTileRewards::'
+    'test_closed_loop_driving_parity',
+    'test_carracing_box2d_parity.py::TestRenderRoadMask',
 )
 
 
