@@ -134,7 +134,15 @@ class MultigridNetwork(nn.Module):
                     chunk = c
 
             def zx_chunk(o):
-                return self._embed(o) @ Wi
+                # The (21k, 4H) projection is the teacher update's FLOPs
+                # bottleneck (PERF.md bottleneck 2).  Run it in bf16 on
+                # both passes: casting the OUTPUT back to f32 makes the
+                # backward matmuls consume bf16 cotangents too, so fwd and
+                # bwd all hit the MXU's bf16 path (f32 accumulation is
+                # internal to the MXU).  The LSTM recurrence and all
+                # other layers stay f32.
+                emb = self._embed(o).astype(jnp.bfloat16)
+                return (emb @ Wi.astype(jnp.bfloat16)).astype(jnp.float32)
 
             obs_c = jax.tree.map(
                 lambda a: a.reshape(T // chunk, chunk, *a.shape[1:]), obs)
