@@ -365,17 +365,48 @@ class AdversarialRunner:
     # ------------------------------------------------------------------
     # Student phase (rollout + GAE + PLR scoring + PPO update)
     # ------------------------------------------------------------------
+    def _rollout_pair(self, params_a, params_b, env_states, level_seeds,
+                      rng_a, rng_b):
+        """Run protagonist + antagonist rollouts as ONE vmapped scan.
+
+        The two PAIRED students share architecture and play the same
+        levels independently, so their rollouts stack on a leading agent
+        axis: per-step model matmuls run at 2N batch instead of two
+        sequential N-batch scans (halves launch overhead, doubles MXU
+        tile occupancy).  Numerically identical to the sequential path —
+        same RNG keys per lane, same ops.  Skipped when VecNormalize
+        returns-RMS is on (the reference threads one RMS sequentially
+        through both rollouts).
+        """
+        env_states, obs = jax.vmap(self.env.reset_agent)(env_states)
+        carry_a = initial_step_carry(
+            self.env, self.models['agent'], env_states, obs, rng_a,
+            level_seeds=level_seeds, ret_rms=None)
+        carry_b = initial_step_carry(
+            self.env, self.models['adversary_agent'], env_states, obs,
+            rng_b, level_seeds=level_seeds, ret_rms=None)
+        stack = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.stack([x, y]), a, b)
+        out = jax.vmap(self._ro_same)(
+            stack(params_a, params_b), stack(carry_a, carry_b))
+        take = lambda i: jax.tree.map(lambda x: x[i], out)
+        return take(0), take(1)
+
     def _student_phase(self, agent_state, rollout_fn, update_fn, env_states,
                        level_seeds, plr_buf, rng, discard_grad: bool,
-                       update_sampler: bool, model, ret_rms=None):
+                       update_sampler: bool, model, ret_rms=None,
+                       precomputed=None):
         args = self.args
         N = args.num_processes
-        env_states, obs = jax.vmap(self.env.reset_agent)(env_states)
-        carry = initial_step_carry(
-            self.env, model, env_states, obs, rng, level_seeds=level_seeds,
-            ret_rms=ret_rms)
-        final, steps, next_value, ro_stats = rollout_fn(
-            agent_state.params, carry)
+        if precomputed is not None:
+            final, steps, next_value, ro_stats = precomputed
+        else:
+            env_states, obs = jax.vmap(self.env.reset_agent)(env_states)
+            carry = initial_step_carry(
+                self.env, model, env_states, obs, rng,
+                level_seeds=level_seeds, ret_rms=ret_rms)
+            final, steps, next_value, ro_stats = rollout_fn(
+                agent_state.params, carry)
 
         if self.ppo_cfg.use_popart:
             values_d = popart_lib.denormalize(agent_state.popart, steps.values)
@@ -496,12 +527,23 @@ class AdversarialRunner:
 
             ro_fn = (self._ro_random if (self.is_dr and not self.use_plr)
                      else self._ro_same)
+            pre_a = pre_b = None
+            can_fuse = (
+                self.is_paired and state.ret_rms is None
+                and jax.tree_util.tree_structure(state.agent.params)
+                == jax.tree_util.tree_structure(
+                    state.adversary_agent.params))
+            if can_fuse:
+                pre_a, pre_b = self._rollout_pair(
+                    state.agent.params, state.adversary_agent.params,
+                    env_states, seeds, r_stu, r_ant)
             agent_state, plr_a, st_scores, st_counts, a_info = (
                 self._student_phase(
                     state.agent, ro_fn, self.update_agent, env_states, seeds,
                     plr_in, r_stu, discard,
                     update_sampler=self.use_plr,
-                    model=self.models['agent'], ret_rms=state.ret_rms))
+                    model=self.models['agent'], ret_rms=state.ret_rms,
+                    precomputed=pre_a))
             ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
                        else None)
 
@@ -515,7 +557,7 @@ class AdversarialRunner:
                         state.plr_antagonist, r_ant, discard,
                         update_sampler=state.plr_antagonist is not None,
                         model=self.models['adversary_agent'],
-                        ret_rms=ret_rms))
+                        ret_rms=ret_rms, precomputed=pre_b))
                 if ret_rms is not None:
                     ret_rms = b_info['ret_rms']
 
