@@ -25,4 +25,21 @@ python tools/plot_curves.py "$RUNS/r3_robust_plr_25b_s1/logs.csv" --smooth 3 \
   --title "25-block PLR-perp, N=32 T=256" \
   --output "$OUT/figures/robust_plr_curves.png" || true
 
+if [ -f "$OUT/maze-r3_accel_60b_s1.csv" ]; then
+  python tools/plot_eval_bars.py \
+    -r /root/reference/results/minigrid_ood -r "$OUT" \
+    -f mg_60_blocks-accel_20k_updates.csv -f maze-r3_accel_60b_s1.csv \
+    -l "reference ACCEL (5 seeds)" -l "dcd_isaac_tpu ACCEL (seed 1)" \
+    --output "$OUT/figures/accel_vs_reference.png" || true
+fi
+if [ -f "$OUT/maze-r3_robust_plr_25b_s1.csv" ]; then
+  python tools/plot_eval_bars.py \
+    -r /root/reference/results/minigrid_ood -r "$OUT" \
+    -f mg_25_blocks-robust_plr-250M_steps.csv \
+    -f maze-r3_robust_plr_25b_s1.csv \
+    -l "reference PLR-perp (10 seeds, 250M)" \
+    -l "dcd_isaac_tpu PLR-perp (seed 1, partial)" \
+    --output "$OUT/figures/robust_plr_vs_reference.png" || true
+fi
+
 ls "$OUT"/*.csv 2>/dev/null
