@@ -395,7 +395,7 @@ class AdversarialRunner:
     def _student_phase(self, agent_state, rollout_fn, update_fn, env_states,
                        level_seeds, plr_buf, rng, discard_grad: bool,
                        update_sampler: bool, model, ret_rms=None,
-                       precomputed=None):
+                       precomputed=None, defer_update=False):
         args = self.args
         N = args.num_processes
         if precomputed is not None:
@@ -439,13 +439,8 @@ class AdversarialRunner:
             clipped=not (args.adv_use_popart or args.adv_normalize_returns))
 
         rng, sub = jax.random.split(rng)
-        new_agent_state, upd_stats = update_fn(
-            agent_state, steps, returns, model.initial_carry((N,)), sub,
-            discard_grad)
-
         info = {
             'rollout': ro_stats,
-            'update': upd_stats,
             'batched_value_loss': bvl,
             'final_env_states': final.env_state,
             'level_seeds_final': final.level_seeds,
@@ -454,7 +449,35 @@ class AdversarialRunner:
             'actions': steps.actions,
             'dones': steps.dones,
         }
+        if defer_update:
+            # caller fuses both students' PPO updates into one vmapped
+            # program (_update_pair); hand back the update inputs
+            pending = (agent_state, steps, returns, sub)
+            return pending, plr_buf, staged_scores, staged_counts, info
+
+        new_agent_state, upd_stats = update_fn(
+            agent_state, steps, returns, model.initial_carry((N,)), sub,
+            discard_grad)
+        info['update'] = upd_stats
         return new_agent_state, plr_buf, staged_scores, staged_counts, info
+
+    def _update_pair(self, pend_a, pend_b, discard_grad):
+        """One vmapped PPO update over both PAIRED students (same
+        architecture, same PPOConfig): epochs × minibatches run at a
+        stacked agent axis instead of two sequential programs."""
+        N = self.args.num_processes
+        stack = lambda a, b: jax.tree.map(
+            lambda x, y: jnp.stack([x, y]), a, b)
+        sa, steps_a, ret_a, rng_a = pend_a
+        sb, steps_b, ret_b, rng_b = pend_b
+        carry0 = self.models['agent'].initial_carry((N,))
+        states, stats = jax.vmap(
+            self.update_agent, in_axes=(0, 0, 0, None, 0, None))(
+            stack(sa, sb), stack(steps_a, steps_b), stack(ret_a, ret_b),
+            carry0, stack(rng_a, rng_b), discard_grad)
+        take = lambda t, i: jax.tree.map(lambda x: x[i], t)
+        return ((take(states, 0), take(states, 1)),
+                (take(stats, 0), take(stats, 1)))
 
     # ------------------------------------------------------------------
     # Teacher regret + update
@@ -543,7 +566,7 @@ class AdversarialRunner:
                     plr_in, r_stu, discard,
                     update_sampler=self.use_plr,
                     model=self.models['agent'], ret_rms=state.ret_rms,
-                    precomputed=pre_a))
+                    precomputed=pre_a, defer_update=can_fuse))
             ret_rms = (a_info['ret_rms'] if state.ret_rms is not None
                        else None)
 
@@ -557,9 +580,17 @@ class AdversarialRunner:
                         state.plr_antagonist, r_ant, discard,
                         update_sampler=state.plr_antagonist is not None,
                         model=self.models['adversary_agent'],
-                        ret_rms=ret_rms, precomputed=pre_b))
+                        ret_rms=ret_rms, precomputed=pre_b,
+                        defer_update=can_fuse))
                 if ret_rms is not None:
                     ret_rms = b_info['ret_rms']
+            if can_fuse:
+                # agent_state/ant_state currently hold the pending update
+                # inputs; run both updates as one vmapped program
+                (agent_state, ant_state), (ua, ub) = self._update_pair(
+                    agent_state, ant_state, discard)
+                a_info['update'] = ua
+                b_info['update'] = ub
 
             # promote this cycle's new levels into the PLR buffer(s)
             # (full-distribution staging only; fixed-seed slots were
