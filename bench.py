@@ -25,9 +25,13 @@ def main():
     ap.add_argument('--mesh_shape', type=str, default='',
                     help="shard the benchmark over a mesh, e.g. 'dp:8'")
     ap.add_argument('--bf16', type=str, default='false')
+    ap.add_argument('--fuse_paired', type=str, default='true')
     args_cli = ap.parse_args()
 
     import jax
+
+    from dcd_isaac_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from dcd_isaac_tpu.arguments import parser
     from dcd_isaac_tpu.envs.registry import make_env
@@ -53,6 +57,7 @@ def main():
         # handle_timelimits off: the reference's multigrid configs
         # (mg_25b_*.json) do not use proper-time-limit bootstrapping
         '--bf16', args_cli.bf16,
+        '--fuse_paired', args_cli.fuse_paired,
     ])
 
     env = make_env(args.env_name)

@@ -129,6 +129,7 @@ _FLAGS = [
     ('num_goal_bins', int, 1),
     # --- TPU-native additions -------------------------------------------
     ('bf16', str2bool, False),          # bfloat16 model compute
+    ('fuse_paired', str2bool, True),    # vmap both PAIRED students' rollout+update
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()

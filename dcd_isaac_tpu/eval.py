@@ -85,6 +85,8 @@ def evaluate_xpid(cli, xpid: str, env_names: List[str]) -> Dict[str, float]:
 
 def main(argv=None):
     cli = parse_args(argv)
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if cli.benchmark:
         env_names = benchmark_env_names(cli.benchmark)
     else:

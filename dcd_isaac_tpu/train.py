@@ -26,6 +26,9 @@ from .utils.make_agent import make_all_models
 def main(argv=None):
     args = parser.parse_args(argv)
 
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     # Multi-host pod slice: one SPMD program over DCN-connected hosts
     # (SURVEY.md §5.8). Must run before any device use.
     if args.multihost:
@@ -181,7 +184,10 @@ def main(argv=None):
                     archive_path(checkpoint_path, checkpoint_basis),
                     runner.state, host)
 
-    # final eval (reference train.py / eval.py final_test_eval)
+    # final checkpoint + eval (reference train.py / eval.py final_test_eval)
+    if args.checkpoint and not args.disable_checkpoint:
+        save_checkpoint(checkpoint_path, runner.state,
+                        runner.host_state_dict())
     if evaluator is not None:
         final_stats = evaluator.evaluate(
             models['agent'], runner.state.agent.params, seed=args.seed)

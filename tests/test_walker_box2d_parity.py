@@ -143,6 +143,7 @@ class TestJointTracking:
 
 
 class TestGroundInteraction:
+    @pytest.mark.slow
     def test_no_terrain_penetration(self, data):
         """Standing feet stay within the penetration slop of the ground."""
         name = 'flat_stand'

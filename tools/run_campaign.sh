@@ -13,8 +13,14 @@
 #      reference's 30.5k-cycle budget.
 #
 # Usage: bash tools/run_campaign.sh [logdir]
+# Budgets are overridable (update cycles; steps = updates * 32 * 256) so a
+# wall-clock-bounded slice can exit cleanly through the final-eval path:
+#   ACCEL_UPDATES=13500 PLR_UPDATES=4000 bash tools/run_campaign.sh
 set -u
 LOGDIR=${1:-/root/repo/results/runs}
+ACCEL_UPDATES=${ACCEL_UPDATES:-20000}
+PLR_UPDATES=${PLR_UPDATES:-14000}
+SKIP_ACCEL=${SKIP_ACCEL:-0}
 mkdir -p "$LOGDIR"
 
 COMMON="--log_dir=$LOGDIR --checkpoint=True --log_interval=25 \
@@ -28,11 +34,11 @@ COMMON="--log_dir=$LOGDIR --checkpoint=True --log_interval=25 \
  --test_env_names=MultiGrid-SixteenRooms-v0,MultiGrid-Labyrinth-v0,MultiGrid-Maze-v0"
 
 echo "=== campaign: ACCEL 60-block (empty start) ==="
-python -m dcd_isaac_tpu.train $COMMON \
+[ "$SKIP_ACCEL" = "1" ] || python -m dcd_isaac_tpu.train $COMMON \
   --xpid=r3_accel_60b_s1 --seed=1 \
   --env_name=MultiGrid-GoalLastEmptyAdversarialEnv-Edit-v0 \
   --ued_algo=domain_randomization \
-  --num_env_steps=163840000 \
+  --num_env_steps=$((ACCEL_UPDATES * 8192)) \
   --entropy_coef=0.0 --adv_entropy_coef=0.0 \
   --use_plr=True --level_replay_prob=0.8 --level_replay_rho=0.5 \
   --level_replay_seed_buffer_size=4000 --level_replay_temperature=0.3 \
@@ -52,7 +58,7 @@ python -m dcd_isaac_tpu.train $COMMON \
   --xpid=r3_robust_plr_25b_s1 --seed=1 \
   --env_name=MultiGrid-GoalLastFewerBlocksAdversarial-v0 \
   --ued_algo=domain_randomization \
-  --num_env_steps=114688000 \
+  --num_env_steps=$((PLR_UPDATES * 8192)) \
   --entropy_coef=0.01 \
   --use_plr=True --level_replay_prob=0.5 --level_replay_rho=0.5 \
   --level_replay_seed_buffer_size=4000 --level_replay_temperature=0.1 \
