@@ -25,7 +25,7 @@ def main():
     ap.add_argument('--mesh_shape', type=str, default='',
                     help="shard the benchmark over a mesh, e.g. 'dp:8'")
     ap.add_argument('--bf16', type=str, default='false')
-    ap.add_argument('--fuse_paired', type=str, default='true')
+    ap.add_argument('--fuse_paired', type=str, default='false')
     args_cli = ap.parse_args()
 
     import jax

@@ -129,7 +129,12 @@ _FLAGS = [
     ('num_goal_bins', int, 1),
     # --- TPU-native additions -------------------------------------------
     ('bf16', str2bool, False),          # bfloat16 model compute
-    ('fuse_paired', str2bool, True),    # vmap both PAIRED students' rollout+update
+    # vmap both PAIRED students' rollout+update into one program.  Default
+    # off: at N=4096 on a v5e chip the fused cycle measured 437k steps/s vs
+    # 478k unfused (doubled live activations push XLA into remat), and its
+    # cold compile is ~2x slower.  The fusion can still win at small N
+    # (CPU smoke: ~1.6x) — it remains available as a flag.
+    ('fuse_paired', str2bool, False),
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()
