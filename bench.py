@@ -24,7 +24,9 @@ def main():
     ap.add_argument('--cycles', type=int, default=None)
     ap.add_argument('--mesh_shape', type=str, default='',
                     help="shard the benchmark over a mesh, e.g. 'dp:8'")
-    ap.add_argument('--bf16', type=str, default='false')
+    # bf16 model compute is the TPU-idiomatic training mode and the bench
+    # default (495.6k vs 478.3k steps/s in f32 on a v5e; PERF.md round 3).
+    ap.add_argument('--bf16', type=str, default='true')
     ap.add_argument('--fuse_paired', type=str, default='false')
     args_cli = ap.parse_args()
 
