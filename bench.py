@@ -24,9 +24,10 @@ def main():
     ap.add_argument('--cycles', type=int, default=None)
     ap.add_argument('--mesh_shape', type=str, default='',
                     help="shard the benchmark over a mesh, e.g. 'dp:8'")
-    # bf16 model compute is the TPU-idiomatic training mode and the bench
-    # default (495.6k vs 478.3k steps/s in f32 on a v5e; PERF.md round 3).
-    ap.add_argument('--bf16', type=str, default='true')
+    # precision follows the product default: --bf16 auto = bf16 on TPU,
+    # f32 on CPU (arguments.py; 495.6k bf16 vs 478.3k f32 on a v5e,
+    # PERF.md round 3). The resolved mode is emitted in the JSON line.
+    ap.add_argument('--bf16', type=str, default='auto')
     ap.add_argument('--fuse_paired', type=str, default='false')
     args_cli = ap.parse_args()
 
@@ -48,7 +49,7 @@ def main():
     T = args_cli.num_steps or T
     cycles = args_cli.cycles or cycles
 
-    args = parser.parse_args([
+    argv = [
         '--env_name', env_name,
         '--ued_algo', 'paired',
         '--num_processes', str(N),
@@ -58,9 +59,11 @@ def main():
         '--recurrent_adversary_env', 'true',
         # handle_timelimits off: the reference's multigrid configs
         # (mg_25b_*.json) do not use proper-time-limit bootstrapping
-        '--bf16', args_cli.bf16,
         '--fuse_paired', args_cli.fuse_paired,
-    ])
+    ]
+    if args_cli.bf16 != 'auto':
+        argv += ['--bf16', args_cli.bf16]
+    args = parser.parse_args(argv)
 
     env = make_env(args.env_name)
     models = make_all_models(args, env)
@@ -87,11 +90,15 @@ def main():
     sps = env_steps / dt
 
     baseline_sps = 1000.0  # reference subprocess architecture (SURVEY.md §6)
+    from dcd_isaac_tpu.utils.make_agent import resolve_bf16
     print(json.dumps({
         'metric': 'env_steps_per_sec_multigrid_paired',
         'value': round(sps, 1),
         'unit': 'steps/s',
         'vs_baseline': round(sps / baseline_sps, 2),
+        # precision mode actually measured (ADVICE r3): comparisons across
+        # rounds are self-describing
+        'bf16': resolve_bf16(args),
     }))
 
 

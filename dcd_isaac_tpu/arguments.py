@@ -128,7 +128,11 @@ _FLAGS = [
     ('sparse_rewards', str2bool, False),
     ('num_goal_bins', int, 1),
     # --- TPU-native additions -------------------------------------------
-    ('bf16', str2bool, False),          # bfloat16 model compute
+    # bfloat16 model compute. Default None = auto: bf16 on accelerator
+    # backends (TPU-idiomatic; 495.6k vs 478.3k steps/s f32 on a v5e,
+    # PERF.md r3), f32 on CPU (tests/dryrun keep exact f32 numerics).
+    # train.py, bench.py and eval.py all resolve this the same way.
+    ('bf16', str2bool, None),
     # vmap both PAIRED students' rollout+update into one program.  Default
     # off: at N=4096 on a v5e chip the fused cycle measured 437k steps/s vs
     # 478k unfused (doubled live activations push XLA into remat), and its

@@ -333,5 +333,6 @@ def make_carracing_model(args, env, agent_type: str):
             num_goal_bins=getattr(args, 'num_goal_bins', 24),
             set_start_pos=args.choose_start_pos,
             n_control_points=args.num_control_points)
-    dtype = jnp.bfloat16 if getattr(args, 'bf16', False) else jnp.float32
+    from ..utils.make_agent import resolve_bf16
+    dtype = jnp.bfloat16 if resolve_bf16(args) else jnp.float32
     return CarRacingNetwork(crop=args.crop_frame, dtype=dtype)

@@ -552,7 +552,7 @@ class AdversarialRunner:
                      else self._ro_same)
             pre_a = pre_b = None
             can_fuse = (
-                self.is_paired and getattr(args, 'fuse_paired', True)
+                self.is_paired and getattr(args, 'fuse_paired', False)
                 and state.ret_rms is None
                 and jax.tree_util.tree_structure(state.agent.params)
                 == jax.tree_util.tree_structure(

@@ -12,13 +12,23 @@ from ..models.multigrid_models import (
 )
 
 
+def resolve_bf16(args) -> bool:
+    """--bf16 three-state: True / False / None (auto = bf16 on any
+    accelerator backend, f32 on CPU)."""
+    v = getattr(args, 'bf16', None)
+    if v is None:
+        import jax
+        v = jax.default_backend() != 'cpu'
+    return bool(v)
+
+
 def make_model(args, env, agent_type: str):
     family = env_family(args.env_name)
     # --bf16: model compute in bfloat16 (params/losses/heads stay float32);
     # on TPU this doubles MXU rate and halves HBM traffic for the hot
     # teacher conv128→LSTM input projection
     import jax.numpy as jnp
-    dtype = jnp.bfloat16 if getattr(args, 'bf16', False) else jnp.float32
+    dtype = jnp.bfloat16 if resolve_bf16(args) else jnp.float32
     if family == 'multigrid':
         if agent_type == 'adversary_env':
             recurrent = (args.recurrent_arch

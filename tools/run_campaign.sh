@@ -16,6 +16,12 @@
 # Budgets are overridable (update cycles; steps = updates * 32 * 256) so a
 # wall-clock-bounded slice can exit cleanly through the final-eval path:
 #   ACCEL_UPDATES=13500 PLR_UPDATES=4000 bash tools/run_campaign.sh
+#
+# NOTE (reproduction): the committed round-3 artifacts (results/runs/
+# r3_accel_60b_s1, r3_robust_plr_25b_s1) were produced with
+#   ACCEL_UPDATES=12000 PLR_UPDATES=2500
+# — a wall-clock-bounded slice of the reference budgets, not the defaults
+# below. Round-4 multi-seed campaigns use tools/run_campaign_r4.sh.
 set -u
 LOGDIR=${1:-/root/repo/results/runs}
 ACCEL_UPDATES=${ACCEL_UPDATES:-20000}
