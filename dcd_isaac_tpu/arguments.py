@@ -139,6 +139,13 @@ _FLAGS = [
     # cold compile is ~2x slower.  The fusion can still win at small N
     # (CPU smoke: ~1.6x) — it remains available as a flag.
     ('fuse_paired', str2bool, False),
+    # K update cycles per compiled dispatch (runner.run_batched): amortizes
+    # the per-cycle host round trip that binds small-N production configs
+    # (PERF.md r3: N=32 ran 29x under the N=4096 bench). 1 = the sequential
+    # reference-shaped loop. Logging stays per-cycle; eval/weight-log/
+    # screenshot cadences snap to dispatch boundaries (intervals should be
+    # multiples of K to avoid extra recompiles).
+    ('cycles_per_dispatch', int, 1),
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()

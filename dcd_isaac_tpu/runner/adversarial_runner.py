@@ -632,9 +632,6 @@ class AdversarialRunner:
 
             stats = self._device_stats(
                 state, env_states, a_info, b_info, t_stats, env_ret)
-            if self.args.log_action_complexity:
-                stats['_actions'] = a_info['actions']
-                stats['_dones'] = a_info['dones']
             return state, stats
 
         return cycle
@@ -668,7 +665,11 @@ class AdversarialRunner:
 
         return cycle
 
-    def _build_cycle_replay(self):
+    def _build_cycle_replay(self, force_env_stats: bool = False):
+        """``force_env_stats``: always compute fresh env-complexity stats
+        (run_batched needs the generate/replay stat pytrees structurally
+        identical for lax.cond; the host assembly then drops them when
+        --log_replay_complexity is off, matching the sequential path)."""
         args = self.args
         N = args.num_processes
         env = self.env
@@ -736,7 +737,9 @@ class AdversarialRunner:
             # --log_replay_complexity: env stats over the replayed levels
             # (reference adversarial_runner.py:825-830)
             stats = self._device_stats(
-                state, env_states if args.log_replay_complexity else None,
+                state,
+                env_states if (args.log_replay_complexity or force_env_stats)
+                else None,
                 a_info, b_info, t_stats, env_ret)
             return state, stats, seeds, easy_metric
 
@@ -853,6 +856,12 @@ class AdversarialRunner:
             stats['_env_stats'] = env_stats
         if state.plr_agent is not None:
             stats.update(plr_lib.plr_stats(state.plr_agent, self.plr_cfg))
+        if self.args.log_action_complexity:
+            # exported on every cycle (generate AND replay) so the
+            # generate/replay stat pytrees are structurally identical —
+            # required by the lax.cond program selection in run_batched
+            stats['_actions'] = a_info['actions']
+            stats['_dones'] = a_info['dones']
         return stats
 
     # ------------------------------------------------------------------
@@ -956,8 +965,17 @@ class AdversarialRunner:
             self.total_num_edits += 1
 
         self.num_updates += 1
+        return self._host_assemble(stats, level_replay)
 
-        # host-side stat assembly
+    def _host_assemble(self, stats, level_replay: bool):
+        """Host-side per-cycle stat assembly + counter bookkeeping.
+
+        ``stats``: one cycle's device stats (jax or numpy leaves), with
+        counters (num_updates / total_num_edits / student_grad_updates /
+        total_seeds_collected) already advanced for this cycle.
+        """
+        args = self.args
+        stats = dict(stats)
         if '_actions' in stats:
             from ..native.lz import action_complexity
             acts = np.asarray(stats.pop('_actions'))
@@ -968,6 +986,12 @@ class AdversarialRunner:
             else:
                 stats.pop('agent_action_complexity', None)
         env_stats = stats.pop('_env_stats', None)
+        if (env_stats is not None and level_replay
+                and not args.log_replay_complexity):
+            # run_batched computes env stats on every cycle for structural
+            # parity; without --log_replay_complexity the sequential path
+            # would not have fresh stats here — drop to match it
+            env_stats = None
         tp = stats.pop('_track_points', None)
         tv = stats.pop('_track_valid', None)
         if tp is not None and env_stats is not None:
@@ -1019,3 +1043,119 @@ class AdversarialRunner:
             'total_num_edits': self.total_num_edits,
         })
         return host
+
+    # ------------------------------------------------------------------
+    # K-cycle batched dispatch
+    # ------------------------------------------------------------------
+    def _build_cycle_multi(self):
+        """One compiled program running K full DCD cycles via lax.scan.
+
+        Kills the production-config launch-latency wall (PERF.md r3: at
+        the reference's N=32 the chip idled at 17k steps/s, 29x under the
+        N=4096 bench — every cycle paid a host round trip).  The per-cycle
+        host control points move in-program:
+
+          * the replay decision (reference sample_replay_decision) is
+            computed from the live buffer state with the same fold_in key
+            the sequential path uses, selecting the generate / replay
+            program via lax.cond;
+          * the ACCEL edit coin is pre-drawn on host (np.random, the same
+            source as the sequential path) and passed in as a (K,) array;
+          * the 'easy' base selection (4 easiest by mean_return - bvl,
+            reference adversarial_runner.py:763-770) becomes an in-program
+            argsort.
+
+        Stats for all K cycles come back stacked; the host assembly then
+        replays the exact per-cycle bookkeeping.
+        """
+        args = self.args
+        N = args.num_processes
+
+        gen_cycle = self._build_cycle_generate()
+        replay_cycle = (self._build_cycle_replay(force_env_stats=True)
+                        if self.use_plr else None)
+        edit_cycle = self._build_cycle_edit() if self.use_editor else None
+
+        def one_cycle(state: RunnerState, coin):
+            if not self.use_plr:
+                state, stats = gen_cycle(state)
+                stats['_level_replay'] = jnp.bool_(False)
+                stats['_edited'] = jnp.bool_(False)
+                return state, stats
+
+            dec_rng = jax.random.fold_in(state.rng, 0x5EED)
+            replay = plr_lib.sample_replay_decision(
+                state.plr_agent, self.plr_cfg, dec_rng)
+
+            def do_gen(state):
+                state, stats = gen_cycle(state)
+                return (state, stats, jnp.full((N,), -1, jnp.int32),
+                        jnp.zeros((N,)))
+
+            def do_replay(state):
+                return replay_cycle(state)
+
+            state, stats, seeds, easy = jax.lax.cond(
+                replay, do_replay, do_gen, state)
+
+            edited = jnp.bool_(False)
+            if self.use_editor:
+                edited = replay & (coin < args.level_editor_prob)
+
+                def do_edit(state):
+                    if args.base_levels == 'easy' and N >= 4:
+                        order = jnp.argsort(easy)[:4]
+                        parents = jnp.tile(seeds[order], N // 4)
+                    else:
+                        parents = seeds
+                    state, _ = edit_cycle(state, parents)
+                    return state
+
+                state = jax.lax.cond(edited, do_edit, lambda s: s, state)
+
+            stats['_level_replay'] = replay
+            stats['_edited'] = edited
+            return state, stats
+
+        def multi(state: RunnerState, coins: jnp.ndarray):
+            return jax.lax.scan(one_cycle, state, coins)
+
+        return multi
+
+    def run_batched(self, k: int):
+        """Run ``k`` DCD cycles in ONE compiled dispatch.
+
+        Returns a list of ``k`` host stats dicts — one per cycle, with the
+        identical bookkeeping the sequential run() performs.  Falls back
+        to sequential run() for ALP-GMM (its teacher is a host-side GMM
+        consulted every cycle).
+        """
+        if self.is_alp_gmm or k == 1:
+            return [self.run() for _ in range(k)]
+        if self.use_editor and self.args.base_levels == 'easy':
+            assert self.args.num_processes % 4 == 0, (
+                'base_levels=easy requires num_processes % 4 == 0')
+        coins = jnp.asarray(np.random.random(k), jnp.float32)
+
+        fn = self._jit('multi', self._build_cycle_multi)
+        if self.mesh is not None:
+            with jax.set_mesh(self.mesh):
+                self.state, stacked = fn(self.state, coins)
+        else:
+            self.state, stacked = fn(self.state, coins)
+        stacked = jax.device_get(stacked)
+
+        out = []
+        for i in range(k):
+            s = jax.tree.map(lambda x: x[i], stacked)
+            level_replay = bool(s.pop('_level_replay'))
+            edited = bool(s.pop('_edited'))
+            if not (self.use_plr and not level_replay and self.robust_plr):
+                self.student_grad_updates += 1
+            if not level_replay:
+                self.total_seeds_collected += self.args.num_processes
+            if edited:
+                self.total_num_edits += 1
+            self.num_updates += 1
+            out.append(self._host_assemble(s, level_replay))
+        return out

@@ -105,6 +105,15 @@ def main(argv=None):
 
     last_logged_update = filewriter.latest_tick - 1
 
+    if args.cycles_per_dispatch > 1:
+        _run_batched_loop(
+            args, runner, evaluator, filewriter, models, initial_update,
+            num_updates, last_logged_update, is_main, test_env_names,
+            checkpoint_path)
+        _finalize(args, runner, evaluator, filewriter, models,
+                  checkpoint_path)
+        return runner
+
     # jax.profiler trace window: updates [2, 5) after compile warm-up
     # (VERDICT r1 item 2; the reference has no profiler at all, SURVEY §5.1)
     profile_dir = os.path.expanduser(args.profile_dir or '')
@@ -184,7 +193,13 @@ def main(argv=None):
                     archive_path(checkpoint_path, checkpoint_basis),
                     runner.state, host)
 
-    # final checkpoint + eval (reference train.py / eval.py final_test_eval)
+    _finalize(args, runner, evaluator, filewriter, models, checkpoint_path)
+    return runner
+
+
+def _finalize(args, runner, evaluator, filewriter, models, checkpoint_path):
+    """Final checkpoint + eval (reference train.py / eval.py
+    final_test_eval)."""
     if args.checkpoint and not args.disable_checkpoint:
         save_checkpoint(checkpoint_path, runner.state,
                         runner.host_state_dict())
@@ -193,7 +208,118 @@ def main(argv=None):
             models['agent'], runner.state.agent.params, seed=args.seed)
         filewriter.log_final_test_eval(final_stats)
     filewriter.mark_completed()
-    return runner
+
+
+def _run_batched_loop(args, runner, evaluator, filewriter, models,
+                      initial_update, num_updates, last_logged_update,
+                      is_main, test_env_names, checkpoint_path):
+    """Update loop dispatching K compiled cycles at a time
+    (--cycles_per_dispatch; runner.run_batched).
+
+    Per-cycle rows still go to logs.csv with exact update indices.
+    Boundary actions (in-training eval, level-weight log, screenshots)
+    fire at the same update indices as the sequential loop but observe the
+    state BEFORE that update instead of after it — a one-update skew, only
+    visible in logging cadence, never in the training math. Checkpoints
+    save at the first dispatch boundary past each interval multiple.
+    """
+    import jax.numpy as jnp
+
+    from .level_replay import plr as plr_lib
+
+    K = args.cycles_per_dispatch
+    iv_ckpt = args.checkpoint_interval
+
+    def basis():
+        return (runner.num_updates if args.checkpoint_basis == 'num_updates'
+                else runner.student_grad_updates)
+
+    ckpt_bucket = basis() // iv_ckpt if iv_ckpt > 0 else 0
+    arch_bucket = (basis() // args.archive_interval
+                   if args.archive_interval > 0 else 0)
+    profile_dir = os.path.expanduser(args.profile_dir or '')
+    dispatch_idx = 0
+    j = initial_update
+    while j < num_updates:
+        test_stats = None
+        if evaluator is not None and args.test_interval > 0 and \
+                j % args.test_interval == 0:
+            test_stats = evaluator.evaluate(
+                models['agent'], runner.state.agent.params,
+                seed=args.seed + j)
+        if args.use_plr and args.weight_log_interval > 0 and \
+                j % args.weight_log_interval == 0:
+            w = np.asarray(plr_lib.sample_weights(
+                runner.state.plr_agent, runner.plr_cfg))
+            filewriter.log_level_weights(
+                w, seeds=np.asarray(runner.state.plr_agent.slot_ids))
+        if args.screenshot_interval > 0 and is_main and \
+                j % args.screenshot_interval == 0 and runner.use_plr:
+            from .utils.screenshots import save_level_screenshots
+            buf = runner.state.plr_agent
+            n_top = min(args.screenshot_batch_size * 4, 8)
+            top = np.argsort(-np.asarray(buf.scores))[:n_top]
+            save_level_screenshots(
+                args.env_name, np.asarray(buf.levels[jnp.asarray(top)]),
+                os.path.join(filewriter.basepath, 'screenshots'),
+                prefix=f'update{j}')
+
+        # dispatch up to K cycles, stopping at the next boundary where an
+        # exact-index action fires (constant size when intervals are
+        # multiples of K — one compile)
+        k_eff = min(K, num_updates - j)
+        for iv in (args.test_interval, args.weight_log_interval,
+                   args.screenshot_interval):
+            if iv and iv > 0:
+                k_eff = min(k_eff, ((j // iv) + 1) * iv - j)
+
+        profiling = bool(profile_dir) and dispatch_idx == 1
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+        t0 = time.perf_counter()
+        stats_list = runner.run_batched(k_eff)
+        if profiling:
+            jax.block_until_ready(runner.state.agent.params)
+            jax.profiler.stop_trace()
+            print(f'Profile written to {profile_dir}', flush=True)
+        dt = time.perf_counter() - t0
+        dispatch_idx += 1
+
+        for i, stats in enumerate(stats_list):
+            jj = j + i
+            stats['cycle_time_s'] = dt / len(stats_list)
+            if test_stats is not None and i == 0:
+                stats.update(test_stats)
+            if jj % args.log_interval == 0 and jj > last_logged_update:
+                # throughput at dispatch granularity (all rows of one
+                # dispatch share a single wall-clock measurement)
+                sps = (args.num_processes * args.num_steps
+                       * len(stats_list)) / max(dt, 1e-9)
+                stats['sps'] = sps
+                stats['total_updates'] = jj + 1
+                filewriter.log(stats)
+                if is_main:
+                    msg = (f"u{jj + 1}/{num_updates} sps={sps:.0f} "
+                           f"ret={stats.get('mean_agent_return', 0):.3f}")
+                    key = 'solved_rate:' + (
+                        test_env_names[0] if test_env_names else '')
+                    if key in stats:
+                        msg += f" solve0={stats[key]:.2f}"
+                    print(msg, flush=True)
+        j += k_eff
+
+        if args.checkpoint and not args.disable_checkpoint and iv_ckpt > 0:
+            b = basis()
+            if b // iv_ckpt > ckpt_bucket:
+                ckpt_bucket = b // iv_ckpt
+                host = runner.host_state_dict()
+                save_checkpoint(checkpoint_path, runner.state, host)
+                if args.archive_interval > 0 and \
+                        b // args.archive_interval > arch_bucket:
+                    arch_bucket = b // args.archive_interval
+                    save_checkpoint(
+                        archive_path(checkpoint_path, b),
+                        runner.state, host)
 
 
 if __name__ == '__main__':
