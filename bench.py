@@ -29,6 +29,7 @@ def main():
     # PERF.md round 3). The resolved mode is emitted in the JSON line.
     ap.add_argument('--bf16', type=str, default='auto')
     ap.add_argument('--fuse_paired', type=str, default='false')
+    ap.add_argument('--fuse_paired_rollouts', type=str, default='false')
     args_cli = ap.parse_args()
 
     import jax
@@ -60,6 +61,7 @@ def main():
         # handle_timelimits off: the reference's multigrid configs
         # (mg_25b_*.json) do not use proper-time-limit bootstrapping
         '--fuse_paired', args_cli.fuse_paired,
+        '--fuse_paired_rollouts', args_cli.fuse_paired_rollouts,
     ]
     if args_cli.bf16 != 'auto':
         argv += ['--bf16', args_cli.bf16]

@@ -139,6 +139,11 @@ _FLAGS = [
     # cold compile is ~2x slower.  The fusion can still win at small N
     # (CPU smoke: ~1.6x) — it remains available as a flag.
     ('fuse_paired', str2bool, False),
+    # vmap ONLY the two students' rollouts (not their PPO updates) into one
+    # 2N-batch scan. Unlike the full fusion this does not double the live
+    # activations of the update backward (the r3 regression), it just halves
+    # the rollout scan's launch count and doubles per-step matmul batch.
+    ('fuse_paired_rollouts', str2bool, False),
     # K update cycles per compiled dispatch (runner.run_batched): amortizes
     # the per-cycle host round trip that binds small-N production configs
     # (PERF.md r3: N=32 ran 29x under the N=4096 bench). 1 = the sequential

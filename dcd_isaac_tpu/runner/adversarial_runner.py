@@ -551,13 +551,17 @@ class AdversarialRunner:
             ro_fn = (self._ro_random if (self.is_dr and not self.use_plr)
                      else self._ro_same)
             pre_a = pre_b = None
-            can_fuse = (
-                self.is_paired and getattr(args, 'fuse_paired', False)
-                and state.ret_rms is None
+            fusable = (
+                self.is_paired and state.ret_rms is None
                 and jax.tree_util.tree_structure(state.agent.params)
                 == jax.tree_util.tree_structure(
                     state.adversary_agent.params))
-            if can_fuse:
+            # full fusion (rollouts + updates) vs rollout-only fusion:
+            # the update half was the measured r3 regression (PERF.md r3)
+            can_fuse = fusable and getattr(args, 'fuse_paired', False)
+            fuse_ro = can_fuse or (
+                fusable and getattr(args, 'fuse_paired_rollouts', False))
+            if fuse_ro:
                 pre_a, pre_b = self._rollout_pair(
                     state.agent.params, state.adversary_agent.params,
                     env_states, seeds, r_stu, r_ant)
@@ -895,7 +899,15 @@ class AdversarialRunner:
     # ------------------------------------------------------------------
     def _jit(self, name, builder):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(builder())
+            # Donate the RunnerState input: every cycle program consumes
+            # the old state and returns the new one, so XLA can update
+            # params/optimizer/PLR buffers in place instead of copying
+            # (all host reads of the old state happen before the call;
+            # donation semantics smoke-tested by forcing this on CPU).
+            # CPU ignores donation (would only warn) — skip it there.
+            donate = (0,) if jax.default_backend() != 'cpu' else ()
+            self._jit_cache[name] = jax.jit(
+                builder(), donate_argnums=donate)
         return self._jit_cache[name]
 
     def run(self) -> Dict[str, float]:
