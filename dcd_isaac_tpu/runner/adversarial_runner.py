@@ -905,7 +905,9 @@ class AdversarialRunner:
             # (all host reads of the old state happen before the call;
             # donation semantics smoke-tested by forcing this on CPU).
             # CPU ignores donation (would only warn) — skip it there.
-            donate = (0,) if jax.default_backend() != 'cpu' else ()
+            import os as _os
+            donate = ((0,) if jax.default_backend() != 'cpu'
+                      and not _os.environ.get('DCD_NO_DONATE') else ())
             self._jit_cache[name] = jax.jit(
                 builder(), donate_argnums=donate)
         return self._jit_cache[name]

@@ -29,7 +29,11 @@ ACCEL_UPDATES=${ACCEL_UPDATES:-20000}
 PLR_UPDATES=${PLR_UPDATES:-8000}
 WALKER_UPDATES=${WALKER_UPDATES:-4000}
 CR_UPDATES=${CR_UPDATES:-2750}
-K=${K:-50}
+K=${K:-50}          # multigrid dispatch size
+# walker/carracing cycles are much larger programs (2048-step
+# physics scans / 96x96 renders); K=50 exceeded what the TPU
+# runtime could execute (worker kernel fault) - K=10 is stable
+K_HEAVY=${K_HEAVY:-10}
 SKIP_ACCEL=${SKIP_ACCEL:-0}
 SKIP_PLR=${SKIP_PLR:-0}
 SKIP_WALKER=${SKIP_WALKER:-0}
@@ -123,7 +127,7 @@ if [ "$SKIP_WALKER" != "1" ]; then
     --use_editor=True --level_editor_prob=1.0 \
     --level_editor_method=random --num_edits=3 --base_levels=easy \
     --log_plr_buffer_stats=True --log_replay_complexity=True \
-    --cycles_per_dispatch=$K \
+    --cycles_per_dispatch=$K_HEAVY \
     --test_interval=100 --test_num_episodes=10 \
     --test_env_names=BipedalWalker-v3,BipedalWalkerHardcore-v3,BipedalWalker-Med-Stairs-v0 \
     --checkpoint_basis=student_grad_updates \
@@ -160,7 +164,7 @@ if [ "$SKIP_CR" != "1" ]; then
     --level_replay_seed_buffer_size=8000 \
     --no_exploratory_grad_updates=True \
     --log_plr_buffer_stats=True --log_replay_complexity=True \
-    --cycles_per_dispatch=$K \
+    --cycles_per_dispatch=$K_HEAVY \
     --test_interval=100 --test_num_episodes=5 \
     --test_env_names=CarRacing-Vanilla-v0,CarRacingF1-Italy-v0 \
     --checkpoint_interval=250 --archive_interval=1000 \
