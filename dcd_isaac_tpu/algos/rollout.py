@@ -52,6 +52,10 @@ class RolloutConfig:
     handle_timelimits: bool = False
     random_agent: bool = False   # uniform-random policy (DR teacher)
     normalize_returns_gamma: Optional[float] = None  # VecNormalize γ
+    # lax.scan unroll factor for the per-step rollout loop (--rollout_unroll):
+    # unrolling lets XLA fuse across consecutive env/policy steps, trading
+    # compile time and code size for fewer per-step launch overheads
+    unroll: int = 1
 
 
 def make_student_rollout(
@@ -226,7 +230,8 @@ def make_student_rollout(
             )
             return new_carry, step_data
 
-        final, steps = jax.lax.scan(scan_step, carry, jnp.arange(T))
+        final, steps = jax.lax.scan(scan_step, carry, jnp.arange(T),
+                                    unroll=cfg.unroll)
 
         # Bootstrap value of the final obs (reference next_value).
         _, next_value, _ = model.apply(

@@ -151,6 +151,8 @@ _FLAGS = [
     # screenshot cadences snap to dispatch boundaries (intervals should be
     # multiples of K to avoid extra recompiles).
     ('cycles_per_dispatch', int, 1),
+    # lax.scan unroll for the rollout step loop (1 = no unrolling)
+    ('rollout_unroll', int, 1),
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()

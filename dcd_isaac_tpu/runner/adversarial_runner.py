@@ -143,7 +143,8 @@ class AdversarialRunner:
             clip_reward=args.clip_reward,
             handle_timelimits=args.handle_timelimits,
             normalize_returns_gamma=(
-                0.99 if args.normalize_returns else None))
+                0.99 if args.normalize_returns else None),
+            unroll=getattr(args, 'rollout_unroll', 1))
         self._student_ro_cfg = ro_cfg
 
         # compiled update fns
