@@ -28,6 +28,7 @@ ACCEL_SEEDS=${ACCEL_SEEDS:-"1 2 3"}
 ACCEL_UPDATES=${ACCEL_UPDATES:-20000}
 PLR_UPDATES=${PLR_UPDATES:-8000}
 WALKER_UPDATES=${WALKER_UPDATES:-4000}
+WALKER_TEST_IV=${WALKER_TEST_IV:-100}
 CR_UPDATES=${CR_UPDATES:-2750}
 K=${K:-50}          # multigrid dispatch size
 # walker/carracing cycles are much larger programs (2048-step
@@ -128,7 +129,7 @@ if [ "$SKIP_WALKER" != "1" ]; then
     --level_editor_method=random --num_edits=3 --base_levels=easy \
     --log_plr_buffer_stats=True --log_replay_complexity=True \
     --cycles_per_dispatch=$K_HEAVY \
-    --test_interval=100 --test_num_episodes=10 \
+    --test_interval=$WALKER_TEST_IV --test_num_episodes=10 \
     --test_env_names=BipedalWalker-v3,BipedalWalkerHardcore-v3,BipedalWalker-Med-Stairs-v0 \
     --checkpoint_basis=student_grad_updates \
     --checkpoint_interval=500 --archive_interval=5000 \
