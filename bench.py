@@ -30,7 +30,7 @@ def main():
     ap.add_argument('--bf16', type=str, default='auto')
     ap.add_argument('--fuse_paired', type=str, default='false')
     ap.add_argument('--fuse_paired_rollouts', type=str, default='false')
-    ap.add_argument('--rollout_unroll', type=str, default='1')
+    ap.add_argument('--rollout_unroll', type=str, default='auto')
     args_cli = ap.parse_args()
 
     import jax
@@ -63,8 +63,9 @@ def main():
         # (mg_25b_*.json) do not use proper-time-limit bootstrapping
         '--fuse_paired', args_cli.fuse_paired,
         '--fuse_paired_rollouts', args_cli.fuse_paired_rollouts,
-        '--rollout_unroll', args_cli.rollout_unroll,
     ]
+    if args_cli.rollout_unroll != 'auto':
+        argv += ['--rollout_unroll', args_cli.rollout_unroll]
     if args_cli.bf16 != 'auto':
         argv += ['--bf16', args_cli.bf16]
     args = parser.parse_args(argv)

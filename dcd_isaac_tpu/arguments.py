@@ -151,8 +151,11 @@ _FLAGS = [
     # screenshot cadences snap to dispatch boundaries (intervals should be
     # multiples of K to avoid extra recompiles).
     ('cycles_per_dispatch', int, 1),
-    # lax.scan unroll for the rollout step loop (1 = no unrolling)
-    ('rollout_unroll', int, 1),
+    # lax.scan unroll for the rollout step loop. Default None = auto:
+    # 4 on accelerator backends (bench A/B on a v5e: 498k → 539k steps/s
+    # at unroll 4; unroll 8 regressed to 523k — PERF.md r4), 1 on CPU
+    # (keeps test-suite compiles small). Numerically identical either way.
+    ('rollout_unroll', int, None),
     ('mesh_shape', str, ''),            # e.g. "dp:8" / "dp:4,tp:2"
     ('profile_dir', str, ''),           # jax.profiler trace output
     ('multihost', str2bool, False),     # jax.distributed.initialize()

@@ -144,7 +144,8 @@ class AdversarialRunner:
             handle_timelimits=args.handle_timelimits,
             normalize_returns_gamma=(
                 0.99 if args.normalize_returns else None),
-            unroll=getattr(args, 'rollout_unroll', 1))
+            unroll=(getattr(args, 'rollout_unroll', None)
+                    or (4 if jax.default_backend() != 'cpu' else 1)))
         self._student_ro_cfg = ro_cfg
 
         # compiled update fns

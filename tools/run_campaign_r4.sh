@@ -128,7 +128,7 @@ if [ "$SKIP_WALKER" != "1" ]; then
     --use_editor=True --level_editor_prob=1.0 \
     --level_editor_method=random --num_edits=3 --base_levels=easy \
     --log_plr_buffer_stats=True --log_replay_complexity=True \
-    --cycles_per_dispatch=$K_HEAVY \
+    --cycles_per_dispatch=$K_HEAVY --rollout_unroll=1 \
     --test_interval=$WALKER_TEST_IV --test_num_episodes=10 \
     --test_env_names=BipedalWalker-v3,BipedalWalkerHardcore-v3,BipedalWalker-Med-Stairs-v0 \
     --checkpoint_basis=student_grad_updates \
@@ -165,7 +165,7 @@ if [ "$SKIP_CR" != "1" ]; then
     --level_replay_seed_buffer_size=8000 \
     --no_exploratory_grad_updates=True \
     --log_plr_buffer_stats=True --log_replay_complexity=True \
-    --cycles_per_dispatch=$K_HEAVY \
+    --cycles_per_dispatch=$K_HEAVY --rollout_unroll=1 \
     --test_interval=100 --test_num_episodes=5 \
     --test_env_names=CarRacing-Vanilla-v0,CarRacingF1-Italy-v0 \
     --checkpoint_interval=250 --archive_interval=1000 \
