@@ -25,6 +25,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..seeds import draw_seed, f32_to_seed, seed_to_f32
+
 from .bezier import get_bezier_track, random_control_points
 from .env import CarRacingConfig, CarRacingState, make_carracing_core
 from .track import PLAYFIELD, Track, build_track
@@ -170,8 +172,7 @@ class AdversarialCarRacing:
         return obs
 
     def _make_level(self, cps, n, start_alpha, goal_bin, seed):
-        seed_f = jax.lax.bitcast_convert_type(
-            seed.astype(jnp.uint32), jnp.float32)
+        seed_f = seed_to_f32(seed.astype(jnp.uint32))
         return jnp.concatenate([
             cps.reshape(-1), n.astype(jnp.float32)[None],
             jnp.asarray(start_alpha, jnp.float32)[None],
@@ -182,7 +183,7 @@ class AdversarialCarRacing:
         n = jnp.round(level[N_CP * 2]).astype(jnp.int32)
         start_alpha = level[N_CP * 2 + 1]
         goal_bin = jnp.round(level[N_CP * 2 + 2]).astype(jnp.int32)
-        seed = jax.lax.bitcast_convert_type(level[N_CP * 2 + 3], jnp.uint32)
+        seed = f32_to_seed(level[N_CP * 2 + 3])
         return cps, n, start_alpha, goal_bin, seed
 
     def _build_state(self, cps, n, start_alpha, goal_bin, seed):
@@ -202,8 +203,7 @@ class AdversarialCarRacing:
         theta = jnp.linspace(0, 2 * jnp.pi, N_CP, endpoint=False)
         cps = (jnp.stack([jnp.cos(theta), jnp.sin(theta)], -1)
                * PLAYFIELD * 0.4 + PLAYFIELD / 2)
-        seed = jax.random.randint(
-            r1, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(r1)
         state, _ = self._build_state(
             cps, jnp.int32(N_CP), jnp.float32(-1.0), jnp.int32(-1), seed)
         state = state.replace(
@@ -265,8 +265,7 @@ class AdversarialCarRacing:
         t = t + 1
         done = t >= self.adversary_rollout_steps
         r_seed, r_z = jax.random.split(rng)
-        new_seed = jax.random.randint(
-            r_seed, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        new_seed = draw_seed(r_seed)
 
         state = state.replace(
             adv_cps=adv_cps, adv_n=adv_n, adv_step_count=t,
@@ -290,8 +289,7 @@ class AdversarialCarRacing:
         sparse mode draws a random goal bin (set_goal, :232-241)."""
         r1, r2, r3 = jax.random.split(rng, 3)
         cps = random_control_points(r1, N_CP, scale=PLAYFIELD)
-        seed = jax.random.randint(
-            r2, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(r2)
         if self.params.sparse_rewards:
             goal_bin = jax.random.randint(
                 r3, (), 1, self.params.num_goal_bins).astype(jnp.int32)
@@ -321,8 +319,7 @@ class AdversarialCarRacing:
             r2, (num_edits, 2), minval=-SKETCH_RATIO, maxval=SKETCH_RATIO)
         cps = cps.at[which].add(delta)
         cps = jnp.clip(cps, 0.0, PLAYFIELD)
-        new_seed = jax.random.randint(
-            r3, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        new_seed = draw_seed(r3)
         return self._build_state(cps, n, start_alpha, goal_bin, new_seed)
 
     def step(self, state, action, rng=None):

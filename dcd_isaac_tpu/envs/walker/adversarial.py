@@ -5,7 +5,7 @@ vector (roughness, pit-gap lo/hi, stump-height lo/hi, stair-height lo/hi,
 stair-steps) plus a terrain seed; the teacher emits one scalar ∈ [-1, 1] per
 design step, mapped into PARAM_RANGES_FULL/EASY (:54-63, :404-435).
 
-Level encoding = (9,) float32: 8 params + the uint32 seed bitcast into the
+Level encoding = (9,) float32: 8 params + the uint32 seed value-cast into the
 final float32 lane (exact round trip).
 """
 
@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import numpy as np
 import jax.numpy as jnp
+
+from ..seeds import draw_seed, f32_to_seed, seed_to_f32
 
 from .env import WalkerState, gen_walker_obs, reset_walker, step_walker
 
@@ -122,8 +124,7 @@ class AdversarialWalker:
     # -- UED protocol ------------------------------------------------------
     def reset(self, rng: jax.Array) -> Tuple[WalkerState, dict]:
         r1, r2 = jax.random.split(rng)
-        seed = jax.random.randint(
-            r1, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(r1)
         state = self._fresh_state(DEFAULT_LEVEL_PARAMS, seed)
         state = state.replace(adv_step_count=jnp.int32(0))
         return state, self._adv_obs(state, r2)
@@ -141,8 +142,7 @@ class AdversarialWalker:
         done = t >= self.adversary_rollout_steps
 
         r_seed, r_z = jax.random.split(rng)
-        new_seed = jax.random.randint(
-            r_seed, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        new_seed = draw_seed(r_seed)
         seed = jnp.where(done, new_seed, state.level_seed)
         state = state.replace(
             level_params=params, level_seed=seed, adv_step_count=t)
@@ -157,8 +157,7 @@ class AdversarialWalker:
         ranges = self._ranges
         u = jax.random.uniform(r1, (8,))
         params = u * (ranges[:, 1] - ranges[:, 0]) + ranges[:, 0]
-        seed = jax.random.randint(
-            r2, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(r2)
         state = self._fresh_state(params, seed)
         return state, gen_walker_obs(state)
 
@@ -168,20 +167,18 @@ class AdversarialWalker:
         a = task[:8] - 1.0
         ranges = self._ranges
         params = (a + 1.0) / 2.0 * (ranges[:, 1] - ranges[:, 0]) + ranges[:, 0]
-        seed = jax.random.randint(
-            rng, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(rng)
         state = self._fresh_state(params, seed)
         return state, gen_walker_obs(state)
 
     def reset_to_level(self, level: jnp.ndarray):
         params = level[:8]
-        seed = jax.lax.bitcast_convert_type(level[8], jnp.uint32)
+        seed = f32_to_seed(level[8])
         state = self._fresh_state(params, seed)
         return state, gen_walker_obs(state)
 
     def get_level(self, state: WalkerState) -> jnp.ndarray:
-        seed_f = jax.lax.bitcast_convert_type(
-            state.level_seed, jnp.float32)
+        seed_f = seed_to_f32(state.level_seed)
         return jnp.concatenate(
             [state.level_params, seed_f[None]]).astype(jnp.float32)
 
@@ -208,8 +205,7 @@ class AdversarialWalker:
 
         params, rng = jax.lax.fori_loop(
             0, num_edits, body, (params, rng))
-        seed = jax.random.randint(
-            rng, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+        seed = draw_seed(rng)
         state = self._fresh_state(params, seed)
         return state, gen_walker_obs(state)
 

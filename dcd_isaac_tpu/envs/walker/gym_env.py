@@ -33,7 +33,7 @@ class GymWalkerEnv:
     def reset_to_level(self, level: jnp.ndarray):
         xs, ys, boxes, n_boxes, seed = decode_gym_level(level)
         terrain = ph.Terrain(xs=xs, ys=ys, boxes=boxes, n_boxes=n_boxes)
-        seed_u32 = jax.lax.bitcast_convert_type(seed, jnp.uint32)
+        seed_u32 = seed.astype(jnp.uint32)
         state = reset_walker_from_terrain(terrain, seed_u32)
         return state, gen_walker_obs(state)
 

@@ -124,7 +124,7 @@ def encode_gym_level(hardcore: bool, seed: int) -> np.ndarray:
     out = np.concatenate([
         xs, ys, bpad.reshape(-1),
         np.asarray([n], np.float32),
-        np.asarray([seed], np.uint32).view(np.float32)])
+        np.asarray([seed % (1 << 24)], np.float32)])
     return out.astype(np.float32)
 
 
@@ -135,5 +135,7 @@ def decode_gym_level(level):
     ys = level[L:2 * L]
     boxes = level[2 * L:2 * L + MAX_BOXES * 4].reshape(MAX_BOXES, 4)
     n_boxes = level[2 * L + MAX_BOXES * 4].astype('int32')
+    # seed stored as an exact float32 value in [0, 2^24) (envs/seeds.py);
+    # only used for the walker's initial-state noise, never terrain regen
     seed = level[2 * L + MAX_BOXES * 4 + 1]
     return xs, ys, boxes, n_boxes, seed
