@@ -68,6 +68,10 @@ def build_walker_levels(env_name: str, rng: np.random.RandomState,
     params = np.asarray(WALKER_TEST_PARAMS[env_name], np.float32)
     out = np.empty((n, 9), np.float32)
     out[:, :8] = params
-    seeds = rng.randint(0, 2 ** 31 - 1, size=n).astype(np.uint32)
-    out[:, 8] = seeds.view(np.float32)
+    # Value-cast encoding to match envs/seeds.py (seed_to_f32 / f32_to_seed):
+    # seeds live in [0, 2^24) so every value round-trips losslessly through
+    # float32. (A raw-bits .view() here would be misdecoded by the value-cast
+    # reader — ~50% of draws would collapse to seed 0/1.)
+    seeds = rng.randint(0, 1 << 24, size=n).astype(np.uint32)
+    out[:, 8] = seeds.astype(np.float32)
     return out

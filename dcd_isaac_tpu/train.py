@@ -76,7 +76,8 @@ def main(argv=None):
     # resume (reference train.py:128-134)
     initial_update = 0
     if args.checkpoint and os.path.exists(checkpoint_path):
-        runner.state, host = load_checkpoint(checkpoint_path, runner.state)
+        runner.state, host = load_checkpoint(
+            checkpoint_path, runner.state, env_name=args.env_name)
         runner.load_host_state_dict(host)
         if runner.mesh is not None:    # re-shard the restored state
             runner.attach_mesh(runner.mesh)
@@ -320,6 +321,21 @@ def _run_batched_loop(args, runner, evaluator, filewriter, models,
                     save_checkpoint(
                         archive_path(checkpoint_path, b),
                         runner.state, host)
+
+    # final-update in-training eval (sequential loop's `j == num_updates - 1`
+    # clause, train.py:139): when the last update isn't a test_interval
+    # multiple the in-loop evals above never observed the final params —
+    # log one more row so logs.csv ends with solved_rate columns in batched
+    # mode too (final_test_eval.csv is separate, written by _finalize).
+    if evaluator is not None and args.test_interval > 0 and \
+            num_updates > initial_update and \
+            (num_updates - 1) % args.test_interval != 0:
+        test_stats = evaluator.evaluate(
+            models['agent'], runner.state.agent.params,
+            seed=args.seed + num_updates - 1)
+        row = dict(test_stats)
+        row['total_updates'] = num_updates
+        filewriter.log(row)
 
 
 if __name__ == '__main__':

@@ -44,6 +44,15 @@ def _gather_to_host(runner_state: Any):
     return jax.tree.map(pull, runner_state)
 
 
+# Walker/CarRacing level vectors carry a terrain seed in a float32 lane.
+# Encoding v2 = value-cast of a [0, 2^24) seed (envs/seeds.py); v1 (early
+# round 4) bitcast raw uint32 bits, which a v2 reader silently misdecodes
+# (~50% of seeds collapse to 0/1, NaN patterns cast UB). Checkpoints record
+# the version so resuming a stale run fails loudly instead.
+LEVEL_ENCODING_VERSION = 2
+_SEEDED_LEVEL_FAMILIES = ('Walker', 'CarRacing')
+
+
 def save_checkpoint(path: str, runner_state: Any, host_state: dict):
     """Atomic write of (pytree bytes, host counters).
 
@@ -56,6 +65,7 @@ def save_checkpoint(path: str, runner_state: Any, host_state: dict):
         payload = {
             'pytree': serialization.to_bytes(state),
             'host': host_state,
+            'level_encoding': LEVEL_ENCODING_VERSION,
         }
         tmp = path + '.tmp'
         with open(tmp, 'wb') as f:
@@ -66,10 +76,24 @@ def save_checkpoint(path: str, runner_state: Any, host_state: dict):
         multihost_utils.sync_global_devices('dcd_checkpoint_saved')
 
 
-def load_checkpoint(path: str, template: Any):
-    """Restore into the structure of ``template`` → (runner_state, host)."""
+def load_checkpoint(path: str, template: Any, env_name: Optional[str] = None):
+    """Restore into the structure of ``template`` → (runner_state, host).
+
+    ``env_name`` (when given) enables the level-encoding version check for
+    families whose PLR buffers store float-encoded terrain seeds.
+    """
     with open(path, 'rb') as f:
         payload = pickle.load(f)
+    if env_name and any(f in env_name for f in _SEEDED_LEVEL_FAMILIES):
+        ver = payload.get('level_encoding', 1)
+        if ver != LEVEL_ENCODING_VERSION and not os.environ.get(
+                'DCD_ALLOW_STALE_LEVEL_ENCODING'):
+            raise ValueError(
+                f'{path} was written with level-encoding v{ver} (bitcast '
+                f'terrain seeds); this build reads v{LEVEL_ENCODING_VERSION} '
+                '(value-cast) and would silently misdecode the PLR buffer. '
+                'Restart the run, or set DCD_ALLOW_STALE_LEVEL_ENCODING=1 '
+                'to resume anyway.')
     state = serialization.from_bytes(template, payload['pytree'])
     return state, payload['host']
 
