@@ -276,8 +276,11 @@ def make_carracing_core(cfg: CarRacingConfig):
                   state.reward_total, state.prev_reward, state.t,
                   state.inner_steps, state.reward_history, state.hist_ptr,
                   state.done_latch, state.goal_reached, state.sparse_accum)
+        # fully unroll the fixed-length repeat loop: the 8 substeps are
+        # tiny launch-bound kernels; unrolling lets XLA fuse across them
         carry, shaped_rewards = jax.lax.scan(
-            inner, carry0, None, length=cfg.num_action_repeat)
+            inner, carry0, None, length=cfg.num_action_repeat,
+            unroll=cfg.num_action_repeat)
         (car, visited, count, reward_total, prev_reward, t, steps, hist,
          ptr, done, goal_reached, sparse_accum) = carry
 

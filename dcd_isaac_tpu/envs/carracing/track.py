@@ -105,12 +105,24 @@ def build_track(curve: jnp.ndarray, valid=None) -> Track:
 
 
 def nearest_tile(track: Track, q: jnp.ndarray):
-    """Nearest centerline point index + distance for query points (..., 2)."""
-    d2 = ((q[..., None, :] - track.points) ** 2).sum(-1)
+    """Nearest centerline point index + distance for query points (..., 2).
+
+    Expanded form |q|² + |p|² − 2 q·p so the cross term is a matmul: for
+    the 96×96-pixel render this turns the (pixels × P) pair-distance
+    tensor's inner work into one (pixels, 2) × (2, P) MXU contraction
+    instead of a broadcast subtract/square, and min/argmin consume the
+    fused result directly (no gather pass).  f32 cancellation error here
+    is ≤ ~1e-2 world-units² against a road threshold of TRACK_WIDTH² ≈ 44
+    — pixel classification is unchanged (IoU-validated tests).
+    """
+    q2 = (q ** 2).sum(-1)
+    p2 = (track.points ** 2).sum(-1)
+    qp = q @ track.points.T
+    d2 = q2[..., None] + p2 - 2.0 * qp
     d2 = jnp.where(track.valid, d2, jnp.inf)
     idx = jnp.argmin(d2, axis=-1)
-    return idx, jnp.sqrt(jnp.take_along_axis(d2, idx[..., None], -1)
-                         .squeeze(-1))
+    d2min = jnp.min(d2, axis=-1)
+    return idx, jnp.sqrt(jnp.maximum(d2min, 0.0))
 
 
 def _tile_frame(track: Track, idx: jnp.ndarray, q: jnp.ndarray):
