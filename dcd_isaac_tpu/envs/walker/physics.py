@@ -49,6 +49,12 @@ HULL_POLY = np.array(
 
 NUM_BODIES = 5          # 0 hull, 1 upper-L, 2 lower-L, 3 upper-R, 4 lower-R
 VEL_ITERS = 40
+# Unroll factor for the velocity-solver scan: each iteration is a tiny
+# Jacobi sweep (25 contacts + 4 joints over 5 bodies), so the scan is
+# pure per-iteration launch overhead on accelerators; unrolling lets XLA
+# fuse consecutive sweeps into one kernel body.  Identical op sequence —
+# numerics unchanged (walker Box2D-envelope tests pin this).
+VEL_UNROLL = 10
 POS_BAUMGARTE = 0.2
 PEN_SLOP = 0.005
 
@@ -378,7 +384,7 @@ def physics_step(bodies: Bodies, terrain: Terrain,
     (vel, angvel, acc_n, _, _), _ = jax.lax.scan(
         solve_velocity,
         (vel, angvel, jnp.zeros(25), jnp.zeros(25), jnp.zeros(4)),
-        None, length=VEL_ITERS)
+        None, length=VEL_ITERS, unroll=VEL_UNROLL)
 
     pos = bodies.pos + vel * DT
     angle = bodies.angle + angvel * DT

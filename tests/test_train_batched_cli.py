@@ -47,3 +47,24 @@ def test_batched_loop_rows_and_resume(tmp_path):
     ticks = [int(float(r['total_updates'])) for r in rows]
     assert ticks == sorted(set(ticks)), 'duplicate log rows after resume'
     assert ticks[-1] == 15
+
+
+def test_batched_loop_final_update_eval(tmp_path):
+    # ADVICE r4: when (num_updates - 1) is not a test_interval multiple,
+    # the batched loop must still log a final-update eval row (sequential
+    # loop's `j == num_updates - 1` clause) so logs.csv ends with
+    # solved_rate columns
+    argv = [a for a in BASE]
+    argv[argv.index('--test_interval') + 1] = '4'
+    argv[argv.index('--test_env_names') + 1] = 'MultiGrid-Labyrinth-v0'
+    run = main(argv + [
+        '--test_num_episodes', '2',
+        '--num_env_steps', str(6 * 4 * 16),   # 6 updates; 5 % 4 != 0
+        '--log_dir', str(tmp_path), '--xpid', 'fe'])
+    assert run.num_updates == 6
+    logs = os.path.join(str(tmp_path), 'fe', 'logs.csv')
+    rows = list(csv.DictReader(open(logs)))
+    key = 'solved_rate:MultiGrid-Labyrinth-v0'
+    final = [r for r in rows if int(float(r['total_updates'])) == 6
+             and r.get(key)]
+    assert final, 'no final-update eval row with solved_rate columns'
