@@ -36,6 +36,14 @@ PLR_UPDATES=${PLR_UPDATES:-30518}
 ACCEL_EXT_UPDATES=${ACCEL_EXT_UPDATES:-25500}  # ~20k grad updates @ 0.8 replay
 K=${K:-50}
 K_HEAVY=${K_HEAVY:-10}
+# Walker dispatch size: the axon runtime kills any device program running
+# ≳60 s ("TPU worker crashed... kernel fault"); walker replay+edit cycles
+# are ~5-7 s each, so K=10 dispatches (~70 s) die the moment the PLR
+# buffer crosses the rho threshold and replay starts — the true mechanism
+# behind the r4 "cycle ~255" fault (r4's buffer hit rho*1000=500 levels
+# at ~u255; r5's fills faster). K=5 keeps replay dispatches ≤40 s
+# (verified: r5_walker_diag ran replay+edit dispatches clean).
+WALKER_K=${WALKER_K:-5}
 mkdir -p "$LOGDIR"
 cd "$(dirname "$0")/.."
 
@@ -78,11 +86,11 @@ if run_stage w; then
       --use_editor=True --level_editor_prob=1.0 \
       --level_editor_method=random --num_edits=3 --base_levels=easy \
       --log_plr_buffer_stats=True --log_replay_complexity=True \
-      --cycles_per_dispatch=$K_HEAVY --rollout_unroll=1 --debug_nans=True \
+      --cycles_per_dispatch=$WALKER_K --rollout_unroll=1 --debug_nans=True \
       --test_interval=200 --test_num_episodes=10 \
       --test_env_names=BipedalWalker-v3,BipedalWalkerHardcore-v3,BipedalWalker-Med-Stairs-v0 \
       --checkpoint_basis=student_grad_updates \
-      --checkpoint_interval=500 --archive_interval=5000 \
+      --checkpoint_interval=100 --archive_interval=5000 \
       >> "$LOGDIR/r5_walker_accel.out" 2>&1
     rc=$?
     echo "--- walker attempt $attempt rc=$rc ---"
@@ -135,7 +143,7 @@ if run_stage ae; then
       --use_editor=True --level_editor_prob=1.0 --level_editor_method=random \
       --num_edits=5 --base_levels=easy \
       --checkpoint_basis=student_grad_updates \
-      --checkpoint_interval=500 --archive_interval=5000 \
+      --checkpoint_interval=100 --archive_interval=5000 \
       --screenshot_interval=2500 \
       > "$LOGDIR/r5_accel_ext_s$SEED.out" 2>&1
     echo "=== accel-ext seed $SEED done rc=$? ==="
