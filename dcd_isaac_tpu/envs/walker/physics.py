@@ -49,12 +49,13 @@ HULL_POLY = np.array(
 
 NUM_BODIES = 5          # 0 hull, 1 upper-L, 2 lower-L, 3 upper-R, 4 lower-R
 VEL_ITERS = 40
-# Unroll factor for the velocity-solver scan: each iteration is a tiny
-# Jacobi sweep (25 contacts + 4 joints over 5 bodies), so the scan is
-# pure per-iteration launch overhead on accelerators; unrolling lets XLA
-# fuse consecutive sweeps into one kernel body.  Identical op sequence —
-# numerics unchanged (walker Box2D-envelope tests pin this).
-VEL_UNROLL = 10
+# Unroll factor for the velocity-solver scan.  Unrolling looked like a
+# fusion win on paper (each iteration is a tiny Jacobi sweep), but the
+# TPU measurement went the other way: unroll=10 REGRESSED the walker
+# generate cycle 2.0 s -> 4.3 s (r5 campaign logs) — the 10x body blows
+# the step program past what fits the core's instruction scheduling
+# sweet spot.  Keep the plain scan; numerics identical either way.
+VEL_UNROLL = 1
 POS_BAUMGARTE = 0.2
 PEN_SLOP = 0.005
 
