@@ -211,9 +211,12 @@ if run_stage ps; then
       > "$LOGDIR/r5_robust_plr_25b_s$SEED.out" 2>&1
     echo "=== plr seed $SEED done rc=$? ==="
   done
+  # one 3-seed CSV: alias the r4 seed-1 run under the r5 prefix
+  [ -e "$LOGDIR/r5_robust_plr_25b_s1" ] || \
+    ln -s r4_robust_plr_25b_s1 "$LOGDIR/r5_robust_plr_25b_s1"
   python -m dcd_isaac_tpu.eval --base_path="$LOGDIR" \
-    --prefix='r*_robust_plr_25b_s*' --benchmark=maze --num_episodes=100 \
-    --result_path=results/ --result_prefix=r5_robust_plr_25b \
+    --prefix='r5_robust_plr_25b_s*' --benchmark=maze --num_episodes=100 \
+    --result_path=results/ \
     > "$LOGDIR/r5_plr_eval.out" 2>&1
 fi
 echo "=== campaign r5 stages [$STAGES] complete ==="
