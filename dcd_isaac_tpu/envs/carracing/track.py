@@ -117,7 +117,11 @@ def nearest_tile(track: Track, q: jnp.ndarray):
     """
     q2 = (q ** 2).sum(-1)
     p2 = (track.points ** 2).sum(-1)
-    qp = q @ track.points.T
+    # HIGHEST precision: TPU matmuls default to bf16 inputs, whose ~2^-9
+    # relative rounding on cross terms of magnitude ~1e5 would inject
+    # hundreds of units^2 into d2 — far past the 44-unit^2 road threshold.
+    # f32-accumulated passes keep the stated ~1e-2 bound on real hardware.
+    qp = jnp.matmul(q, track.points.T, precision=jax.lax.Precision.HIGHEST)
     d2 = q2[..., None] + p2 - 2.0 * qp
     d2 = jnp.where(track.valid, d2, jnp.inf)
     idx = jnp.argmin(d2, axis=-1)

@@ -286,11 +286,25 @@ def _run_batched_loop(args, runner, evaluator, filewriter, models,
         dt = time.perf_counter() - t0
         dispatch_idx += 1
 
+        # final-update eval (sequential loop's `j == num_updates - 1` arm,
+        # see the sequential path above): merged into the final update's
+        # row, exactly as the sequential loop does — observed params are
+        # post-final-update (the dispatch completed before assembly)
+        final_test_stats = None
+        if evaluator is not None and args.test_interval > 0 and \
+                j + k_eff >= num_updates and \
+                (num_updates - 1) % args.test_interval != 0:
+            final_test_stats = evaluator.evaluate(
+                models['agent'], runner.state.agent.params,
+                seed=args.seed + num_updates - 1)
+
         for i, stats in enumerate(stats_list):
             jj = j + i
             stats['cycle_time_s'] = dt / len(stats_list)
             if test_stats is not None and i == 0:
                 stats.update(test_stats)
+            if final_test_stats is not None and jj == num_updates - 1:
+                stats.update(final_test_stats)
             if jj % args.log_interval == 0 and jj > last_logged_update:
                 # throughput at dispatch granularity (all rows of one
                 # dispatch share a single wall-clock measurement)
@@ -318,24 +332,17 @@ def _run_batched_loop(args, runner, evaluator, filewriter, models,
                 if args.archive_interval > 0 and \
                         b // args.archive_interval > arch_bucket:
                     arch_bucket = b // args.archive_interval
+                    # archive named at the interval boundary it crossed
+                    # (the grad-update basis advances stochastically inside
+                    # a dispatch, so the raw counter lands a few past the
+                    # multiple — e.g. 20023; eval tooling expects
+                    # model_20000.tar, and the sequential loop's exact
+                    # `basis % interval == 0` check produces multiples too)
                     save_checkpoint(
-                        archive_path(checkpoint_path, b),
+                        archive_path(checkpoint_path,
+                                     arch_bucket * args.archive_interval),
                         runner.state, host)
 
-    # final-update in-training eval (sequential loop's `j == num_updates - 1`
-    # clause, train.py:139): when the last update isn't a test_interval
-    # multiple the in-loop evals above never observed the final params —
-    # log one more row so logs.csv ends with solved_rate columns in batched
-    # mode too (final_test_eval.csv is separate, written by _finalize).
-    if evaluator is not None and args.test_interval > 0 and \
-            num_updates > initial_update and \
-            (num_updates - 1) % args.test_interval != 0:
-        test_stats = evaluator.evaluate(
-            models['agent'], runner.state.agent.params,
-            seed=args.seed + num_updates - 1)
-        row = dict(test_stats)
-        row['total_updates'] = num_updates
-        filewriter.log(row)
 
 
 if __name__ == '__main__':

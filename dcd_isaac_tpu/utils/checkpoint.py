@@ -89,11 +89,13 @@ def load_checkpoint(path: str, template: Any, env_name: Optional[str] = None):
         if ver != LEVEL_ENCODING_VERSION and not os.environ.get(
                 'DCD_ALLOW_STALE_LEVEL_ENCODING'):
             raise ValueError(
-                f'{path} was written with level-encoding v{ver} (bitcast '
-                f'terrain seeds); this build reads v{LEVEL_ENCODING_VERSION} '
-                '(value-cast) and would silently misdecode the PLR buffer. '
-                'Restart the run, or set DCD_ALLOW_STALE_LEVEL_ENCODING=1 '
-                'to resume anyway.')
+                f'{path} predates the level-encoding version field '
+                f'(treated as v{ver}); this build reads '
+                f'v{LEVEL_ENCODING_VERSION} (value-cast seeds) and cannot '
+                'tell whether the stored PLR buffer uses the old bitcast '
+                'encoding, which it would silently misdecode. Restart the '
+                'run, or set DCD_ALLOW_STALE_LEVEL_ENCODING=1 to resume '
+                'anyway (safe IF the run was trained on value-cast code).')
     state = serialization.from_bytes(template, payload['pytree'])
     return state, payload['host']
 

@@ -51,9 +51,10 @@ def test_batched_loop_rows_and_resume(tmp_path):
 
 def test_batched_loop_final_update_eval(tmp_path):
     # ADVICE r4: when (num_updates - 1) is not a test_interval multiple,
-    # the batched loop must still log a final-update eval row (sequential
-    # loop's `j == num_updates - 1` clause) so logs.csv ends with
-    # solved_rate columns
+    # the batched loop must still eval the final params and merge the
+    # solved_rate columns into the final update's row (the sequential
+    # loop's `j == num_updates - 1` clause) — as a MERGE, not an extra
+    # row: total_updates ticks must stay unique
     argv = [a for a in BASE]
     argv[argv.index('--test_interval') + 1] = '4'
     argv[argv.index('--test_env_names') + 1] = 'MultiGrid-Labyrinth-v0'
@@ -67,4 +68,6 @@ def test_batched_loop_final_update_eval(tmp_path):
     key = 'solved_rate:MultiGrid-Labyrinth-v0'
     final = [r for r in rows if int(float(r['total_updates'])) == 6
              and r.get(key)]
-    assert final, 'no final-update eval row with solved_rate columns'
+    assert final, 'final-update row missing solved_rate columns'
+    ticks = [int(float(r['total_updates'])) for r in rows]
+    assert ticks == sorted(set(ticks)), 'duplicate total_updates rows'

@@ -40,7 +40,8 @@ def audit(tag, tree, verbose=False):
         arr = np.asarray(leaf)
         n_nan = int(np.isnan(arr).sum())
         n_inf = int(np.isinf(arr).sum())
-        amax = float(np.abs(arr[np.isfinite(arr)]).max()) if arr.size else 0.0
+        finite = arr[np.isfinite(arr)]
+        amax = float(np.abs(finite).max()) if finite.size else 0.0
         if n_nan or n_inf:
             bad = True
             print(f'  [{tag}] {jax.tree_util.keystr(path)}: '
@@ -84,8 +85,14 @@ def main():
         dt = time.perf_counter() - t0
         u = runner.num_updates
         bad = audit(f'u{u}', runner.state)
-        srt = {k: v for k, v in stats.items()
-               if isinstance(v, float) and (np.isnan(v) or np.isinf(v))}
+        srt = {}
+        for k, v in stats.items():
+            try:
+                fv = float(v)
+            except (TypeError, ValueError):
+                continue
+            if np.isnan(fv) or np.isinf(fv):
+                srt[k] = fv
         print(f'u{u} dt={dt:.1f}s ret={stats.get("mean_agent_return", 0):.3f} '
               f'vl={stats.get("value_loss", 0):.4f} '
               f'bad_state={bad} bad_stats={sorted(srt)[:6]}', flush=True)
