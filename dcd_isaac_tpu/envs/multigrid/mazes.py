@@ -366,8 +366,12 @@ def _crossing_spec(name, size, num_crossings, lava: bool):
             out[i] = encode_level(g, (1, 1), 0, (size - 2, size - 2))
         return out
 
+    # reference crossing.py:28 sets see_through_walls=False (occluded
+    # views), unlike the maze suite's True
     return EvalEnvSpec(
-        name, MultiGridParams(size=size, max_steps=4 * size * size), build)
+        name,
+        MultiGridParams(size=size, max_steps=4 * size * size,
+                        see_through_walls=False), build)
 
 
 def _four_rooms_spec(name='MiniGrid-FourRooms-v0', size=19, max_steps=100):
@@ -390,8 +394,12 @@ def _four_rooms_spec(name='MiniGrid-FourRooms-v0', size=19, max_steps=100):
             out[i] = encode_level(g, start, rng.randint(0, 4), goal)
         return out
 
+    # reference fourrooms.py inherits MultiGridEnv's default
+    # see_through_walls=False (multigrid.py:350) — occluded views
     return EvalEnvSpec(
-        name, MultiGridParams(size=size, max_steps=max_steps), build)
+        name,
+        MultiGridParams(size=size, max_steps=max_steps,
+                        see_through_walls=False), build)
 
 
 def _cluttered_spec(name, size, n_clutter, max_steps, lava=False):
@@ -411,8 +419,12 @@ def _cluttered_spec(name, size, n_clutter, max_steps, lava=False):
             out[i] = encode_level(g, start, rng.randint(0, 4), goal)
         return out
 
+    # reference cluttered.py inherits MultiGridEnv's default
+    # see_through_walls=False (multigrid.py:350) — occluded views
     return EvalEnvSpec(
-        name, MultiGridParams(size=size, max_steps=max_steps), build)
+        name,
+        MultiGridParams(size=size, max_steps=max_steps,
+                        see_through_walls=False), build)
 
 
 def _build_registry() -> Dict[str, EvalEnvSpec]:
