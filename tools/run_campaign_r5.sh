@@ -103,41 +103,6 @@ if run_stage w; then
     > "$LOGDIR/r5_walker_eval.out" 2>&1
 fi
 
-if run_stage crbench; then
-  echo "=== stage CRBENCH: CarRacing throughput A/B (MXU nearest-tile + unrolled repeat) ==="
-  rm -rf "$LOGDIR/r5_cr_bench"
-  # same config as the r4 campaign, 150 updates — sps in logs.csv is the
-  # measurement (r4 sustained ~1.2k env-steps/s)
-  python -m dcd_isaac_tpu.train \
-    --log_dir="$LOGDIR" --checkpoint=False --log_interval=10 \
-    --xpid=r5_cr_bench --seed=7 \
-    --env_name=CarRacing-Bezier-Adversarial-v0 \
-    --ued_algo=domain_randomization \
-    --num_processes=16 --num_steps=125 \
-    --num_env_steps=$((150 * 2000)) \
-    --ppo_epoch=8 --num_mini_batch=4 --normalize_returns=True \
-    --lr=3e-4 --gamma=0.99 --gae_lambda=0.9 --clip_param=0.2 \
-    --entropy_coef=0.0 --handle_timelimits=True \
-    --use_categorical_adv=True \
-    --use_plr=True --level_replay_strategy=positive_value_loss \
-    --level_replay_score_transform=rank --level_replay_prob=0.5 \
-    --level_replay_rho=0.5 --level_replay_seed_buffer_size=8000 \
-    --staleness_coef=0.7 --no_exploratory_grad_updates=True \
-    --cycles_per_dispatch=$K_HEAVY \
-    --test_interval=0 --test_env_names='' \
-    > "$LOGDIR/r5_cr_bench.out" 2>&1
-  echo "=== crbench done rc=$? ==="
-fi
-
-if run_stage creval; then
-  echo "=== stage CREVAL: r4 CR checkpoint at 100 episodes/track (reference protocol) ==="
-  python -m dcd_isaac_tpu.eval --base_path="$LOGDIR" \
-    --prefix='r4_cr_robust_plr_s*' --benchmark=f1 --num_episodes=100 \
-    --result_path=results/cr_100ep/ \
-    > "$LOGDIR/r5_cr_eval100.out" 2>&1
-  echo "=== creval done rc=$? ==="
-fi
-
 if run_stage p; then
   for SEED in $PAIRED_SEEDS; do
     echo "=== stage P: 25-block PAIRED seed $SEED ($PAIRED_UPDATES updates) ==="
@@ -219,4 +184,40 @@ if run_stage ps; then
     --result_path=results/ \
     > "$LOGDIR/r5_plr_eval.out" 2>&1
 fi
+
+if run_stage crbench; then
+  echo "=== stage CRBENCH: CarRacing throughput A/B (MXU nearest-tile + unrolled repeat) ==="
+  rm -rf "$LOGDIR/r5_cr_bench"
+  # same config as the r4 campaign, 150 updates — sps in logs.csv is the
+  # measurement (r4 sustained ~1.2k env-steps/s)
+  python -m dcd_isaac_tpu.train \
+    --log_dir="$LOGDIR" --checkpoint=False --log_interval=10 \
+    --xpid=r5_cr_bench --seed=7 \
+    --env_name=CarRacing-Bezier-Adversarial-v0 \
+    --ued_algo=domain_randomization \
+    --num_processes=16 --num_steps=125 \
+    --num_env_steps=$((150 * 2000)) \
+    --ppo_epoch=8 --num_mini_batch=4 --normalize_returns=True \
+    --lr=3e-4 --gamma=0.99 --gae_lambda=0.9 --clip_param=0.2 \
+    --entropy_coef=0.0 --handle_timelimits=True \
+    --use_categorical_adv=True \
+    --use_plr=True --level_replay_strategy=positive_value_loss \
+    --level_replay_score_transform=rank --level_replay_prob=0.5 \
+    --level_replay_rho=0.5 --level_replay_seed_buffer_size=8000 \
+    --staleness_coef=0.7 --no_exploratory_grad_updates=True \
+    --cycles_per_dispatch=$K_HEAVY \
+    --test_interval=0 --test_env_names='' \
+    > "$LOGDIR/r5_cr_bench.out" 2>&1
+  echo "=== crbench done rc=$? ==="
+fi
+
+if run_stage creval; then
+  echo "=== stage CREVAL: r4 CR checkpoint at 100 episodes/track (reference protocol) ==="
+  python -m dcd_isaac_tpu.eval --base_path="$LOGDIR" \
+    --prefix='r4_cr_robust_plr_s*' --benchmark=f1 --num_episodes=100 \
+    --result_path=results/cr_100ep/ \
+    > "$LOGDIR/r5_cr_eval100.out" 2>&1
+  echo "=== creval done rc=$? ==="
+fi
+
 echo "=== campaign r5 stages [$STAGES] complete ==="
