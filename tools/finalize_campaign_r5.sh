@@ -19,9 +19,12 @@ if [ -f "$OUT/bipedal-r5_walker_accel_s.csv" ]; then
     --output "$OUT/figures/r5_walker_vs_reference.png" || true
 fi
 
-# Flagship PAIRED
+# Flagship PAIRED: protagonist/antagonist returns + teacher regret +
+# zero-shot solved rates (VERDICT r4 item 5's curve figure)
 for S in 1 2; do
   python tools/plot_curves.py "$RUNS/r5_paired_25b_s$S/logs.csv" --smooth 3 \
+    --metrics mean_agent_return mean_adversary_agent_return \
+              mean_env_return "solved_rate:*" \
     --title "25-block PAIRED seed $S, 250M steps" \
     --output "$OUT/figures/r5_paired_curves_s$S.png" || true
 done
