@@ -46,7 +46,10 @@ def main():
     if args_cli.quick:
         N, T, cycles, env_name = 64, 64, 3, 'MultiGrid-MiniAdversarial-v0'
     else:
-        N, T, cycles, env_name = 4096, 256, 3, 'MultiGrid-Adversarial-v0'
+        # N=8192 is the measured single-chip sweet spot on a v5e (PERF.md
+        # round-5 batch sweep: 4096 -> 536k, 8192 -> 572k steps/s, 16384
+        # OOMs 15.75G HBM). T=256 matches the reference rollout length.
+        N, T, cycles, env_name = 8192, 256, 3, 'MultiGrid-Adversarial-v0'
     N = args_cli.num_processes or N
     T = args_cli.num_steps or T
     cycles = args_cli.cycles or cycles
